@@ -1,0 +1,273 @@
+"""Batch eventuality matcher + canonical eventuality construction.
+
+Re-implements, from scratch, the greedy seed-rule matching semantics of
+/root/reference/aser/extract/eventuality_extractor.py:406-590 and the
+eventuality canonicalization of /root/reference/aser/eventuality.py:296-359,
+producing plain dict records (Arrow-friendly) instead of class instances.
+
+Semantics that MUST hold for P/R parity with the reference (each validated
+against frozen reference goldens in tests/):
+
+* dependencies are scanned in their stored order — the parser pre-sorts by
+  (governor, dependent) (utils.py:244-245) — and positive ops take the FIRST
+  matching edge (eventuality_extractor.py:423-434).
+* possible ops select EVERY matching edge and rebind their variable each
+  time (':436-440'); singleton-label ops bind only while unbound.
+* negative LEFTOVER ops reject the candidate if any *unselected* outgoing
+  edge of the anchor carries a label outside the allowed set (':442-450' +
+  ':467-477' — the '-' list enumerates labels allowed to dangle).
+* a leading 'IN' token is dropped with all its edges (eventuality.py:298-308).
+* words use lowercased lemmas (eventuality.py:310-313); positions are
+  re-indexed to 0..n sorted order (eventuality.py:553-594).
+* eid = sha1(json.dumps([rendered_deps, words, pos_tags])) with the rendered
+  form ((idx, word, tag), label, (idx, word, tag)) (eventuality.py:45-55,
+  :425-433) — bit-for-bit reproducible.
+* POS-based relabeling: s-v-v -> s-v-a (JJ xcomp), s-be-a -> s-be-o (NN cop
+  governor), s-v-be-a -> s-v-be-o, s-v-o-be-a -> s-v-o-be-o, and the s-v
+  word-order guard (eventuality_extractor.py:511-590).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from .patterns import BIND, LEFTOVER, PATTERN_PROGRAMS, RBIND, RVETO, CLAUSE_SKIP_WORDS
+
+__all__ = ["extract_sentence_eventualities", "build_eventuality", "eid_of"]
+
+
+def _run_program(prog, deps, bound):
+    """Run one pattern program with V1 pre-bound; return (selected_idx_list,
+    skeleton_count) or None.  ``deps`` is a list of (gov, label, dep) tuples
+    already sorted by (gov, dep)."""
+    selected: list[int] = []
+    n_skeleton = 0
+
+    for op in prog.positive:
+        hit = False
+        for ei, (g, lab, d) in enumerate(deps):
+            if op.kind == BIND:
+                anchor = bound.get(op.anchor)
+                if anchor is None or g != anchor or lab not in op.labels:
+                    continue
+                if op.exact and op.var in bound:
+                    continue
+                bound[op.var] = d
+            else:  # RBIND: edge points AT the anchor; bind the governor
+                anchor = bound.get(op.anchor)
+                if anchor is None or d != anchor or lab not in op.labels:
+                    continue
+                if op.var in bound:
+                    continue
+                bound[op.var] = g
+            selected.append(ei)
+            hit = True
+            break
+        if not hit:
+            return None
+    n_skeleton = len(selected)
+
+    for op in prog.possible:
+        anchor = bound.get(op.anchor)
+        if anchor is None:
+            continue
+        for ei, (g, lab, d) in enumerate(deps):
+            if g != anchor or lab not in op.labels:
+                continue
+            if op.exact and op.var in bound:
+                continue
+            bound[op.var] = d
+            selected.append(ei)
+            # multi-label groups rebind, so later edges anchor on the new
+            # binding only for SUBSEQUENT ops — within this op the anchor
+            # stays fixed (matches the reference's current_dict snapshotting)
+        anchor = bound.get(op.anchor)
+
+    selected_set = set(selected)
+    for op in prog.negative:
+        anchor = bound.get(op.anchor)
+        if op.kind == LEFTOVER:
+            if anchor is None:
+                continue
+            for ei, (g, lab, d) in enumerate(deps):
+                if ei in selected_set:
+                    continue
+                if g == anchor and lab not in op.labels:
+                    return None
+        else:  # RVETO
+            if anchor is None:
+                continue
+            label = next(iter(op.labels))
+            for ei, (g, lab, d) in enumerate(deps):
+                if ei in selected_set:
+                    continue
+                if lab == label and d == anchor:
+                    return None
+
+    return selected, n_skeleton
+
+
+def eid_of(rendered_deps, words, pos_tags) -> str:
+    """sha1 over the reference's exact JSON rendering (eventuality.py:45-55).
+
+    json.dumps turns tuples into JSON arrays with ", "/": " separators —
+    identical output to the reference, so eids are bit-compatible."""
+    msg = json.dumps([rendered_deps, words, pos_tags])
+    return hashlib.sha1(msg.encode("utf-8")).hexdigest()
+
+
+def build_eventuality(pattern, sel_deps, n_skeleton, lemmas, tokens, pos_tags, use_lemma=True):
+    """Canonicalize one matched candidate into a plain record.
+
+    ``sel_deps``: selected raw edges in selection order (positive first —
+    the first ``n_skeleton`` are the skeleton). Mirrors Eventuality._construct
+    (eventuality.py:296-359) without NER/mention handling (our parser emits
+    no entity mentions; ners default to 'O')."""
+    deps = list(sel_deps)
+    skel = list(sel_deps[:n_skeleton])
+
+    indices = sorted({i for g, _, d in deps for i in (g, d)})
+    if indices and pos_tags[indices[0]] == "IN":
+        drop = indices[0]
+        deps = [e for e in deps if e[0] != drop and e[2] != drop]
+        skel = [e for e in skel if e[0] != drop and e[2] != drop]
+        indices = indices[1:]
+
+    src = lemmas if use_lemma else tokens
+    words = [src[i].lower() for i in indices]
+    tags = [pos_tags[i] for i in indices]
+
+    # reset raw positions to dense 0..n ranks, dedupe, sort by (gov, dep)
+    rank = {raw: r for r, raw in enumerate(indices)}
+    reset = sorted({(rank[g], lab, rank[d]) for g, lab, d in deps},
+                   key=lambda e: (e[0], e[2]))
+    reset_skel = sorted({(rank[g], lab, rank[d]) for g, lab, d in skel},
+                        key=lambda e: (e[0], e[2]))
+    skel_edge_idx = []
+    ptr = 0
+    for i, e in enumerate(reset):
+        if ptr >= len(reset_skel):
+            break
+        if e == reset_skel[ptr]:
+            skel_edge_idx.append(i)
+            ptr += 1
+    skel_word_idx = sorted({rank[i] for g, _, d in skel for i in (g, d)})
+
+    rendered = [
+        [[g, words[g], tags[g]], lab, [d, words[d], tags[d]]]
+        for g, lab, d in reset
+    ]
+    verb_idx = [i for i, t in enumerate(tags) if t.startswith("VB")]
+
+    return {
+        "eid": eid_of(rendered, words, tags),
+        "pattern": pattern,
+        "words": words,
+        "pos_tags": tags,
+        "dependencies": [[g, lab, d] for g, lab, d in reset],
+        "skeleton_word_indices": skel_word_idx,
+        "skeleton_dep_indices": skel_edge_idx,
+        "verb_indices": verb_idx,
+        "raw_indices": indices,          # token positions in the sentence
+        "position": (sum(indices) / len(indices)) if indices else 0.0,
+        "frequency": 1.0,
+    }
+
+
+def _xcomp_dependent_tag(ev):
+    """Tag of the first xcomp edge's dependent, in reset coordinates
+    (the relabeling filter reads rendered dependencies in order)."""
+    for g, lab, d in ev["dependencies"]:
+        if lab == "xcomp":
+            return ev["pos_tags"][d]
+    return None
+
+
+def _cop_governor_tag(ev):
+    for g, lab, d in ev["dependencies"]:
+        if lab == "cop":
+            return ev["pos_tags"][g]
+    return None
+
+
+def relabel_by_pos(by_pattern):
+    """Post-hoc POS relabeling/filtering across pattern buckets
+    (eventuality_extractor.py:511-590).  Mutates and returns ``by_pattern``
+    (a dict pattern -> list of records, insertion-ordered like the rule
+    table).  Note eids are already fixed and do NOT change with the label."""
+    for k, evs in by_pattern.items():
+        by_pattern[k] = [e for e in evs if "|" not in e["words"]]
+
+    by_pattern["s-v-a"] = []
+    by_pattern["s-be-o"] = []
+    by_pattern["s-v-be-o"] = []
+    by_pattern["s-v-o-be-o"] = []
+
+    def split_on(src_key, dst_key, tag_fn, keep_mark, move_mark):
+        keep, move = [], []
+        for e in by_pattern[src_key]:
+            tag = tag_fn(e)
+            if tag is None:
+                continue
+            if keep_mark in tag:
+                keep.append(e)
+            if move_mark in tag:
+                e = dict(e, pattern=dst_key)
+                move.append(e)
+        by_pattern[src_key] = keep
+        by_pattern[dst_key] = move
+
+    if by_pattern["s-v-v"]:
+        split_on("s-v-v", "s-v-a", _xcomp_dependent_tag, "VB", "JJ")
+    if by_pattern["s-v-be-a"]:
+        split_on("s-v-be-a", "s-v-be-o", _xcomp_dependent_tag, "JJ", "NN")
+    if by_pattern["s-be-a"]:
+        split_on("s-be-a", "s-be-o", _cop_governor_tag, "JJ", "NN")
+    if by_pattern["s-v-o-be-a"]:
+        split_on("s-v-o-be-a", "s-v-o-be-o", _xcomp_dependent_tag, "JJ", "NN")
+
+    if by_pattern["s-v"]:
+        kept = []
+        for e in by_pattern["s-v"]:
+            for g, lab, d in e["dependencies"]:
+                if lab == "nsubj" and (g > d or e["words"][g] == "be"):
+                    kept.append(e)
+        by_pattern["s-v"] = kept
+
+    return by_pattern
+
+
+def extract_sentence_eventualities(tokens, lemmas, pos_tags, dependencies,
+                                   use_lemma=True, skip_words=CLAUSE_SKIP_WORDS):
+    """Extract all eventualities from one parsed sentence, sorted by
+    mean-token position (the reference's in_order mode,
+    eventuality_extractor.py:343-388).
+
+    ``dependencies``: iterable of (gov:int, label:str, dep:int), 0-based,
+    sorted by (gov, dep).  Returns a list of record dicts."""
+    if skip_words and not skip_words.isdisjoint(tokens):
+        return []
+
+    deps = [tuple(e) for e in dependencies]
+    verb_positions = [i for i, t in enumerate(pos_tags) if t.startswith("VB")]
+    by_pattern: dict[str, list] = {}
+    for name, prog in PATTERN_PROGRAMS.items():
+        bucket = []
+        for vp in verb_positions:
+            res = _run_program(prog, deps, {"V1": vp})
+            if res is None:
+                continue
+            sel_idx, n_skel = res
+            if not sel_idx:
+                continue
+            bucket.append(build_eventuality(
+                name, [deps[i] for i in sel_idx], n_skel,
+                lemmas, tokens, pos_tags, use_lemma,
+            ))
+        by_pattern[name] = bucket
+
+    by_pattern = relabel_by_pos(by_pattern)
+    out = [e for bucket in by_pattern.values() for e in bucket]
+    out.sort(key=lambda e: e["position"])
+    return out

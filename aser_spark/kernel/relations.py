@@ -1,0 +1,163 @@
+"""Seed-rule discourse relation tagging over eventuality pairs.
+
+From-scratch re-implementation of the reference's deterministic v1.0
+relation path (/root/reference/aser/extract/relation_extractor.py:149-345):
+
+* every intra-sentence ordered pair (head.position < tail.position) gets a
+  ``Co_Occurrence`` instance, plus one instance per connective sense whose
+  verification passes (':165-178', ':212-224').
+* one-sentence verification (':240-280'): connective phrase present in the
+  token stream, head/tail token sets disjoint, an ``advcl``-family edge must
+  connect a head token to a tail token after contracting each eventuality to
+  a super-node (':317-345'), and the connective's mean token position must
+  fall between the two eventualities (after them for 'instead').
+* adjacent-sentence verification (':180-192', ':282-315'): fires only when
+  BOTH sentences have exactly one eventuality, with a <10 distance guard on
+  mean positions in concatenated-token coordinates.
+* rid = sha1(hid + "$" + tid) (/root/reference/aser/relation.py:37-50);
+  sense universe /root/reference/aser/relation.py:5-12; seed connective
+  phrases /root/reference/aser/extract/rule.py:1565-1581.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+__all__ = ["RELATION_SENSES", "SEED_CONNECTIVES", "rid_of",
+           "extract_paragraph_relations"]
+
+RELATION_SENSES = (
+    "Precedence", "Succession", "Synchronous", "Reason", "Result",
+    "Condition", "Contrast", "Concession", "Conjunction", "Instantiation",
+    "Restatement", "ChosenAlternative", "Alternative", "Exception",
+    "Co_Occurrence",
+)
+
+# sense -> list of connective token phrases (rule.py:1565-1581)
+SEED_CONNECTIVES: dict[str, tuple] = {
+    "Precedence": (("before",),),
+    "Succession": (("after",),),
+    "Synchronous": (("meanwhile",), ("at", "the", "same", "time")),
+    "Reason": (("because",),),
+    "Result": (("so",), ("thus",), ("therefore",)),
+    "Condition": (("if",),),
+    "Contrast": (("but",), ("however",)),
+    "Concession": (("although",),),
+    "Conjunction": (("and",), ("also",)),
+    "Instantiation": (("for", "example"), ("for", "instance")),
+    "Restatement": (("in", "other", "words"),),
+    "Alternative": (("or",), ("unless",)),
+    "ChosenAlternative": (("instead",),),
+    "Exception": (("except",),),
+    "Co_Occurrence": (),
+}
+
+
+def rid_of(hid: str, tid: str) -> str:
+    return hashlib.sha1((hid + "$" + tid).encode("utf-8")).hexdigest()
+
+
+def _phrase_in(connective, tokens, token_set):
+    """Both checks of the reference: every word present, and the joined
+    phrase a substring of the joined sentence (relation_extractor.py:249-256)."""
+    if not token_set.issuperset(connective):
+        return False
+    return " ".join(connective) in " ".join(tokens)
+
+
+def _mean_index(connective, tokens):
+    """Mean of each connective word's FIRST occurrence index
+    (relation_extractor.py:243-247)."""
+    positions = [tokens.index(w) for w in connective]
+    return sum(positions) / len(positions) if positions else 0.0
+
+
+def _advcl_links(head_idx: frozenset, tail_idx: frozenset, deps) -> bool:
+    """Contract head/tail token sets to super-nodes and test for an
+    advcl-family edge head->tail (relation_extractor.py:257-268, :317-345).
+    Returns False too when the eventualities overlap (contraction invalid)."""
+    if head_idx & tail_idx:
+        return False
+    for g, lab, d in deps:
+        if g in head_idx and d in tail_idx and "advcl" in lab:
+            return True
+    return False
+
+
+def senses_same_sentence(head, tail, tokens, deps):
+    """All senses for one intra-sentence ordered pair; Co_Occurrence is
+    unconditional (relation_extractor.py:212-224)."""
+    senses = ["Co_Occurrence"]
+    token_set = set(tokens)
+    head_idx = frozenset(head["raw_indices"])
+    tail_idx = frozenset(tail["raw_indices"])
+    linked = None  # computed lazily; shared across senses
+    for sense in RELATION_SENSES:
+        for connective in SEED_CONNECTIVES[sense]:
+            if not _phrase_in(connective, tokens, token_set):
+                continue
+            if linked is None:
+                linked = _advcl_links(head_idx, tail_idx, deps)
+            if not linked:
+                continue
+            cpos = _mean_index(connective, tokens)
+            h, t = head["position"], tail["position"]
+            ok = (h < t < cpos) if "instead" in connective else (h < cpos < t)
+            if ok:
+                senses.append(sense)
+                break
+    return senses
+
+
+def senses_adjacent_sentences(head, tail, s1_tokens, s2_tokens):
+    """Senses for the 1-eventuality-each adjacent-sentence case
+    (relation_extractor.py:226-238, :282-315)."""
+    senses = []
+    offset = len(s1_tokens)
+    tokens = list(s1_tokens) + list(s2_tokens)
+    token_set = set(tokens)
+    h = head["position"]
+    t = tail["position"] + offset
+    if not t - h < 10:
+        return senses
+    for sense in RELATION_SENSES:
+        for connective in SEED_CONNECTIVES[sense]:
+            if not _phrase_in(connective, tokens, token_set):
+                continue
+            cpos = _mean_index(connective, tokens)
+            ok = (h < t < cpos) if "instead" in connective else (h < cpos < t)
+            if ok:
+                senses.append(sense)
+                break
+    return senses
+
+
+def extract_paragraph_relations(sentences, para_eventualities):
+    """Relation instances for one paragraph (= one conversation window).
+
+    ``sentences``: list of dicts with at least tokens + dependencies;
+    ``para_eventualities``: matching list of per-sentence eventuality-record
+    lists (position-ordered).  Returns flat instance rows
+    (hid, tid, sense, weight=1.0) — aggregation into weighted edges happens
+    downstream in Spark (groupBy hid,tid,sense).
+    """
+    rows = []
+    for sent, evs in zip(sentences, para_eventualities):
+        tokens = sent["tokens"]
+        deps = [tuple(e) for e in sent["dependencies"]]
+        for head in evs:
+            for tail in evs:
+                if not head["position"] < tail["position"]:
+                    continue
+                for sense in senses_same_sentence(head, tail, tokens, deps):
+                    rows.append((head["eid"], tail["eid"], sense, 1.0))
+
+    for i in range(len(sentences) - 1):
+        evs1, evs2 = para_eventualities[i], para_eventualities[i + 1]
+        if len(evs1) == 1 and len(evs2) == 1:
+            head, tail = evs1[0], evs2[0]
+            for sense in senses_adjacent_sentences(
+                head, tail, sentences[i]["tokens"], sentences[i + 1]["tokens"]
+            ):
+                rows.append((head["eid"], tail["eid"], sense, 1.0))
+    return rows

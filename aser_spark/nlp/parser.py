@@ -1,0 +1,438 @@
+"""Deterministic sentence splitter / tokenizer / dependency parser.
+
+Emits the reference's ``parsed_result`` row shape
+(/root/reference/aser/extract/utils.py:234-277): tokens, lemmas, pos_tags,
+ners ('O'), mentions ([]), and enhanced-dependency-style edges, 0-based and
+sorted by (governor, dependent) exactly like utils.py:244-245.
+
+Grammar covered (the synthetic transcript corpus stays inside it):
+  clause  := [subject-NP] verb-group predicate*
+  subject := (DT|PRP$|JJ|CD|NN)* (NN|NNS|PRP)  |  EX
+  verb-group := (MD | be | have | do | not)* [content-verb]
+  predicate  := NP (dobj / iobj+dobj) | JJ (xcomp) | TO-VP (xcomp)
+              | TO-be-JJ (xcomp+cop) | IN NP (case + nmod:<prep>) | RB (advmod)
+  copular := be + (JJ | NP) -> predicate governs (cop/nsubj), CoreNLP-style
+  existential := EX be NP -> expl + nsubj on the be-verb
+  sentence := clause ((CC | SUBORD) clause)*   with conj:<cc> / advcl:<sub>
+              links and enhanced-style subject propagation into
+              shared-subject VP conjuncts.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .lexicon import (AMBIG_VBN, COORDINATORS, SUBORDINATORS, tag_and_lemma)
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+_TOKEN = re.compile(r"[A-Za-z']+(?:-[A-Za-z']+)*|\d+(?:\.\d+)?|[.,!?;:]")
+
+_NOUNISH = ("NN", "NNS", "NNP", "NNPS")
+_NP_INNER = ("DT", "PRP$", "JJ", "CD", "NN", "NNS", "NNP")
+_BE_TAGS = ("VB", "VBP", "VBZ", "VBD", "VBN", "VBG")
+
+
+def split_sentences(text: str):
+    return [s for s in (_SENT_SPLIT.split(text.strip()) if text else []) if s]
+
+
+def tokenize(sentence: str):
+    return _TOKEN.findall(sentence)
+
+
+def _is_verb(tag):
+    return tag.startswith("VB") or tag == "MD"
+
+
+def _retag(tokens, tags, lemmas):
+    """Context fixes: her PRP$->PRP before verbs/end, ambiguous VBD->VBN
+    after a be/have auxiliary (passive / perfect participles)."""
+    n = len(tokens)
+    for i in range(n):
+        w = tokens[i].lower()
+        if w == "her":
+            nxt = tags[i + 1] if i + 1 < n else "."
+            if nxt not in _NP_INNER:
+                tags[i], lemmas[i] = "PRP", "she"
+        elif w == "that":
+            nxt = tags[i + 1] if i + 1 < n else "."
+            if nxt.startswith("VB") or nxt == "MD":  # demonstrative subject
+                tags[i], lemmas[i] = "DT", "that"
+        elif tags[i] == "VBD" and w in AMBIG_VBN:
+            j = i - 1
+            while j >= 0 and tags[j] == "RB":
+                j -= 1
+            if j >= 0 and lemmas[j] in ("be", "have") and tags[j].startswith("VB"):
+                tags[i] = "VBN"
+
+
+def _split_clauses(tags, lemmas):
+    """Return list of (marker_idx | None, kind, [token indices]) where kind
+    is '' (main), 'sub' (advcl) or 'cc' (conj).  Commas/periods excluded."""
+    n = len(tags)
+    clauses = []
+    cur, marker, kind = [], None, ""
+
+    def flush():
+        nonlocal cur, marker, kind
+        if cur:
+            clauses.append((marker, kind, cur))
+        cur, marker, kind = [], None, ""
+
+    i = 0
+    while i < n:
+        tag, lem = tags[i], lemmas[i]
+        if tag in (".", ",", "!", "?", ":", ";"):
+            i += 1
+            continue
+        verb_later = any(_is_verb(tags[j]) for j in range(i + 1, n))
+        if tag == "IN" and lem in SUBORDINATORS and verb_later:
+            flush()
+            marker, kind = i, "sub"
+        elif tag == "CC" and lem in COORDINATORS and verb_later and any(
+            _is_verb(tags[j]) for j in range(i)
+        ):
+            flush()
+            marker, kind = i, "cc"
+        else:
+            cur.append(i)
+        i += 1
+    flush()
+    return clauses
+
+
+def _np_chunk_edges(idxs, tags, lemmas, deps):
+    """Attach NP-internal edges; return head index (last nounish/PRP)."""
+    head = None
+    for i in idxs:
+        if tags[i] in _NOUNISH or tags[i] == "PRP":
+            head = i
+    if head is None:
+        head = idxs[-1]
+    for i in idxs:
+        if i == head:
+            continue
+        t = tags[i]
+        if t == "DT":
+            deps.append((head, "det", i))
+        elif t == "PRP$":
+            deps.append((head, "nmod:poss", i))
+        elif t == "JJ":
+            deps.append((head, "amod", i))
+        elif t == "CD":
+            deps.append((head, "nummod", i))
+        elif t in _NOUNISH:
+            deps.append((head, "compound", i))
+        elif t == "RB":
+            deps.append((head, "advmod", i))
+    return head
+
+
+def _collect_np(seq, tags, start):
+    """Longest NP run in ``seq`` (list of token idx) starting at offset
+    ``start``; returns (chunk_indices, next_offset) or (None, start)."""
+    j = start
+    chunk = []
+    while j < len(seq) and tags[seq[j]] in _NP_INNER or (
+        j == start and j < len(seq) and tags[seq[j]] == "PRP"
+    ):
+        t = tags[seq[j]]
+        chunk.append(seq[j])
+        j += 1
+        if t in ("NN", "NNS", "NNP", "PRP"):  # head reached -> chunk ends
+            break
+    if not chunk or tags[chunk[-1]] not in _NOUNISH + ("PRP",):
+        return None, start
+    return chunk, j
+
+
+def _flush_objects(verb, np_slots, deps):
+    if len(np_slots) == 1:
+        deps.append((verb, "dobj", np_slots[0]))
+    elif len(np_slots) >= 2:
+        deps.append((verb, "iobj", np_slots[0]))
+        deps.append((verb, "dobj", np_slots[1]))
+        for extra in np_slots[2:]:
+            deps.append((verb, "dep", extra))
+
+
+def _parse_vp(verb, seq, tags, lemmas, deps):
+    """Post-verbal attachments for content verb ``verb`` over remaining
+    token indices ``seq`` (in order)."""
+    k = 0
+    np_slots = []  # noun chunk heads, in order -> dobj / iobj+dobj
+    while k < len(seq):
+        i = seq[k]
+        t, lem = tags[i], lemmas[i]
+        if t == "TO" and k + 1 < len(seq):
+            _flush_objects(verb, np_slots, deps)  # "asked him to ..." -> dobj(him)
+            sub = seq[k + 1:]
+            # to be JJ/NP -> xcomp with copula; to VB ... -> xcomp VP
+            if lemmas[sub[0]] == "be" and len(sub) > 1:
+                pred = sub[1]
+                if tags[pred] == "JJ":
+                    deps.append((verb, "xcomp", pred))
+                    deps.append((pred, "mark", i))
+                    deps.append((pred, "cop", sub[0]))
+                    _parse_vp(pred, sub[2:], tags, lemmas, deps)
+                else:
+                    chunk, nxt = _collect_np(sub[1:], tags, 0)
+                    if chunk:
+                        head = _np_chunk_edges(chunk, tags, lemmas, deps)
+                        deps.append((verb, "xcomp", head))
+                        deps.append((head, "mark", i))
+                        deps.append((head, "cop", sub[0]))
+            elif tags[sub[0]].startswith("VB"):
+                xv = sub[0]
+                deps.append((verb, "xcomp", xv))
+                deps.append((xv, "mark", i))
+                _parse_vp(xv, sub[1:], tags, lemmas, deps)
+            return  # infinitive consumes the rest
+        if t == "IN":
+            chunk, nxt = _collect_np(seq, tags, k + 1)
+            if chunk:
+                head = _np_chunk_edges(chunk, tags, lemmas, deps)
+                deps.append((head, "case", i))
+                deps.append((verb, "nmod:" + lem, head))
+                k = nxt
+                continue
+            k += 1
+            continue
+        if t == "RB":
+            deps.append((verb, "neg" if lem == "not" else "advmod", i))
+            k += 1
+            continue
+        if t == "JJ":
+            nxt_t = tags[seq[k + 1]] if k + 1 < len(seq) else "."
+            if nxt_t in _NP_INNER:  # adjective opens an NP chunk
+                chunk, nxt = _collect_np(seq, tags, k)
+                if chunk:
+                    np_slots.append(_np_chunk_edges(chunk, tags, lemmas, deps))
+                    k = nxt
+                    continue
+            deps.append((verb, "xcomp", i))  # "feels happy"
+            k += 1
+            continue
+        chunk, nxt = _collect_np(seq, tags, k)
+        if chunk:
+            np_slots.append(_np_chunk_edges(chunk, tags, lemmas, deps))
+            k = nxt
+            continue
+        k += 1
+
+    _flush_objects(verb, np_slots, deps)
+
+
+def _parse_clause(idxs, tags, lemmas, deps, inherited_subject=None):
+    """Parse one clause; returns its head token index (or None)."""
+    if not idxs:
+        return None
+    # locate verb group start
+    vstart = next((k for k, i in enumerate(idxs) if _is_verb(tags[i])), None)
+    if vstart is None:
+        # verbless fragment: treat as NP
+        return _np_chunk_edges(idxs, tags, lemmas, deps)
+
+    # verb chain: MD/aux/not sequence, ending at last consecutive verbal token
+    chain = []
+    k = vstart
+    while k < len(idxs):
+        i = idxs[k]
+        if _is_verb(tags[i]) or (tags[i] == "RB" and lemmas[i] == "not"):
+            chain.append(i)
+            k += 1
+        else:
+            break
+    rest = idxs[k:]
+    content = [i for i in chain if tags[i].startswith("VB") and lemmas[i] not in ("be", "have", "do")]
+    main = content[-1] if content else None
+    be_idx = [i for i in chain if lemmas[i] == "be"]
+
+    # --- subject region: leading PPs (sentence adverbials) then the NP ---
+    pre = idxs[:vstart]
+    expl_idx = next((i for i in pre if tags[i] == "EX"), None)
+    pending_pps = []  # (prep_idx, np_head) -> nmod on the clause head
+    j = 0
+    while j < len(pre) and tags[pre[j]] == "IN":
+        chunk, nxt = _collect_np(pre, tags, j + 1)
+        if not chunk:
+            break
+        np_head = _np_chunk_edges(chunk, tags, lemmas, deps)
+        pending_pps.append((pre[j], np_head))
+        j = nxt
+    pre = pre[j:]
+    subj = None
+    if pre and expl_idx is None:
+        subj = _np_chunk_edges(pre, tags, lemmas, deps)
+    elif inherited_subject is not None:
+        subj = inherited_subject
+
+    def _attach_pps(head):
+        for prep_idx, np_head in pending_pps:
+            deps.append((np_head, "case", prep_idx))
+            deps.append((head, "nmod:" + lemmas[prep_idx], np_head))
+
+    if main is not None:
+        passive = tags[main] == "VBN" and be_idx
+        for i in chain:
+            if i == main:
+                continue
+            if lemmas[i] == "not":
+                deps.append((main, "neg", i))
+            elif lemmas[i] == "be" and passive:
+                deps.append((main, "auxpass", i))
+            else:
+                deps.append((main, "aux", i))
+        if expl_idx is not None:
+            deps.append((main, "expl", expl_idx))
+        if subj is not None:
+            deps.append((main, "nsubjpass" if passive else "nsubj", subj))
+        _parse_vp(main, rest, tags, lemmas, deps)
+        _attach_pps(main)
+        return main
+
+    # --- copular / existential: chain is pure be (+aux/not) ---
+    be = be_idx[-1] if be_idx else chain[-1]
+    if expl_idx is not None:  # there-be-o: the be-verb stays the head
+        deps.append((be, "expl", expl_idx))
+        chunk, nxt = _collect_np(rest, tags, 0)
+        if chunk:
+            head = _np_chunk_edges(chunk, tags, lemmas, deps)
+            deps.append((be, "nsubj", head))
+            _parse_vp(be, rest[nxt:], tags, lemmas, deps) if rest[nxt:] else None
+        for i in chain:
+            if i != be:
+                deps.append((be, "neg" if lemmas[i] == "not" else "aux", i))
+        _attach_pps(be)
+        return be
+
+    # predicate head: JJ or NP after be
+    pred = None
+    rest2 = rest
+    if rest and tags[rest[0]] == "JJ" and (
+        len(rest) == 1 or tags[rest[1]] not in _NP_INNER
+    ):
+        pred = rest[0]
+        rest2 = rest[1:]
+    else:
+        chunk, nxt = _collect_np(rest, tags, 0)
+        if chunk:
+            pred = _np_chunk_edges(chunk, tags, lemmas, deps)
+            rest2 = rest[nxt:]
+    if pred is None:  # bare "it is." fragment
+        pred = be
+        for i in chain:
+            if i != be:
+                deps.append((be, "neg" if lemmas[i] == "not" else "aux", i))
+        if subj is not None:
+            deps.append((be, "nsubj", subj))
+        _attach_pps(be)
+        return be
+
+    deps.append((pred, "cop", be))
+    for i in chain:
+        if i == be:
+            continue
+        deps.append((pred, "neg" if lemmas[i] == "not" else "aux", i))
+    if subj is not None:
+        deps.append((pred, "nsubj", subj))
+    # post-predicate modifiers (PPs, adverbs) attach to the predicate
+    _parse_vp_mods_only(pred, rest2, tags, lemmas, deps)
+    _attach_pps(pred)
+    return pred
+
+
+def _parse_vp_mods_only(head, seq, tags, lemmas, deps):
+    k = 0
+    while k < len(seq):
+        i = seq[k]
+        if tags[i] == "IN":
+            chunk, nxt = _collect_np(seq, tags, k + 1)
+            if chunk:
+                nhead = _np_chunk_edges(chunk, tags, lemmas, deps)
+                deps.append((nhead, "case", i))
+                deps.append((head, "nmod:" + lemmas[i], nhead))
+                k = nxt
+                continue
+        elif tags[i] == "RB":
+            deps.append((head, "neg" if lemmas[i] == "not" else "advmod", i))
+        k += 1
+
+
+def parse_sentence(sentence: str):
+    """Parse one sentence into the reference parsed_result dict shape."""
+    tokens = tokenize(sentence)
+    tagged = [tag_and_lemma(t) for t in tokens]
+    tags = [t for t, _ in tagged]
+    lemmas = [l for _, l in tagged]
+    _retag(tokens, tags, lemmas)
+
+    deps: list[tuple] = []
+    clauses = _split_clauses(tags, lemmas)
+    heads: list[int | None] = []
+    main_head = None
+    last_subject = None
+
+    for marker, kind, idxs in clauses:
+        # enhanced-style subject sharing for verb-phrase conjuncts
+        inherit = last_subject if kind == "cc" else None
+        before = len(deps)
+        head = _parse_clause(idxs, tags, lemmas, deps, inherited_subject=inherit)
+        heads.append(head)
+        subj_edges = [d for g, lab, d in deps[before:] if lab in ("nsubj", "nsubjpass")]
+        if subj_edges:
+            last_subject = subj_edges[0]
+        if head is None:
+            continue
+        if marker is None and main_head is None:
+            main_head = head
+
+    # clause links
+    prev_head = None
+    pending_sub = []  # (marker, head) of subordinate clauses seen before main
+    for (marker, kind, idxs), head in zip(clauses, heads):
+        if head is None:
+            continue
+        if kind == "sub":
+            deps.append((head, "mark", marker))
+            if prev_head is not None:
+                deps.append((prev_head, "advcl:" + lemmas[marker], head))
+            else:
+                pending_sub.append(head)
+        elif kind == "cc":
+            if prev_head is not None:
+                deps.append((prev_head, "cc", marker))
+                deps.append((prev_head, "conj:" + lemmas[marker], head))
+        if kind != "sub":
+            prev_head = head
+    if main_head is None and heads:
+        main_head = next((h for h in heads if h is not None), None)
+    for sub_head in pending_sub:  # sentence-initial subordinate clause
+        if main_head is not None and main_head != sub_head:
+            deps.append((main_head, "advcl:" + lemmas[
+                next(m for (m, k, _), h in zip(clauses, heads) if h == sub_head and m is not None)
+            ], sub_head))
+
+    # punctuation attaches to the sentence root
+    root = main_head if main_head is not None else (heads[0] if heads else None)
+    if root is not None:
+        for i, t in enumerate(tags):
+            if t in (".", ",", "!", "?", ":", ";"):
+                deps.append((root, "punct", i))
+
+    uniq = sorted(set(deps), key=lambda e: (e[0], e[2]))
+    return {
+        "text": sentence,
+        "tokens": tokens,
+        "lemmas": lemmas,
+        "pos_tags": tags,
+        "ners": ["O"] * len(tokens),
+        "mentions": [],
+        "parse": "",
+        "dependencies": [e for e in uniq if e[0] != e[2]],
+    }
+
+
+def parse_text(text: str):
+    """Sentence-split + parse a whole turn; returns list of parsed dicts."""
+    return [parse_sentence(s) for s in split_sentences(text)]

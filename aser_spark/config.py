@@ -1,0 +1,36 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults assume the sandbox (local[N], 32 threads); every knob is the same
+one you would set on a 1000-executor cluster — AQE for runtime re-planning
+and skew-join splitting, Arrow for the pandas-UDF extraction kernels,
+moderate shuffle partitions sized to cores at test scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app="aser-spark", cpus: int | None = None, shuffle_partitions: int | None = None,
+              extra: dict | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    b = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

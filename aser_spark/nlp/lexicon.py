@@ -224,10 +224,14 @@ def lookup(token: str):
 def fallback(token: str):
     """Suffix-heuristic tag/lemma for out-of-vocabulary tokens."""
     w = token.lower()
+    if w in (".", "!", "?", ";"):
+        return (".", w)
+    if w in (",", ":"):
+        return (w, w)
     if not w or not any(c.isalpha() for c in w):
         if w and all(c.isdigit() or c in ".," for c in w):
             return ("CD", w)
-        return (w if w in (".", ",", ":") else ".", w)  # punctuation-ish
+        return (".", w)  # other symbols
     if w.endswith("ly"):
         return ("RB", w)
     if w.endswith("ing"):

@@ -1,0 +1,106 @@
+"""KG materialization: core filtering, dangling-edge semi-join, wide edges,
+and partitioned table writes (SURVEY.md F6/J4/U1-U3, §3.1 steps 5-6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .aggregate import (aggregate_edges, aggregate_nodes, build_lineage,
+                        edges_from_instances, nodes_from_instances)
+from ..kernel.relations import RELATION_SENSES
+
+# reference defaults: /root/reference/aser/utils/config.py:102-105
+EVENTUALITY_FREQ_THRESHOLD = 2.0
+RELATION_WEIGHT_THRESHOLD = 0.0
+
+
+def build_knowledge_graph(instances: DataFrame):
+    """instances -> (nodes, edges, lineage) DataFrames (full KG)."""
+    ev = nodes_from_instances(instances)
+    rel = edges_from_instances(instances)
+    return aggregate_nodes(ev), aggregate_edges(rel), build_lineage(ev)
+
+
+def build_core_kg(nodes: DataFrame, edges: DataFrame,
+                  freq_threshold: float = EVENTUALITY_FREQ_THRESHOLD,
+                  weight_threshold: float = RELATION_WEIGHT_THRESHOLD):
+    """Threshold filter + dangling-edge removal
+    (/root/reference/aser/pipe/__init__.py:240-268).
+
+    The semi-joins shuffle only eids; at production scale the filtered node
+    set is orders of magnitude smaller than edges, and AQE converts these to
+    broadcast joins automatically when it fits.
+    """
+    core_nodes = nodes.filter(F.col("frequency") >= F.lit(freq_threshold))
+    kept = core_nodes.select("eid")
+    core_edges = (
+        edges.filter(F.col("weight") > F.lit(weight_threshold))
+        .join(kept.withColumnRenamed("eid", "hid"), "hid", "left_semi")
+        .join(kept.withColumnRenamed("eid", "tid"), "tid", "left_semi")
+    )
+    return core_nodes, core_edges
+
+
+def edges_wide(edges: DataFrame) -> DataFrame:
+    """Long (hid,tid,sense,weight) -> one row per pair with 15 sense
+    columns — the reference's Relations table layout
+    (/root/reference/aser/database/kg_connection.py:21-23)."""
+    return (
+        edges.groupBy("rid", "hid", "tid")
+        .pivot("sense", list(RELATION_SENSES))
+        .agg(F.first("weight"))
+        .na.fill(0.0, list(RELATION_SENSES))
+    )
+
+
+def merge_kgs(node_dfs: list, edge_dfs: list):
+    """U1 multi-KG union-merge (examples/database/merge_kgs.py:33-60):
+    union + re-aggregate, frequencies/weights summed."""
+    nodes = None
+    for df in node_dfs:
+        nodes = df if nodes is None else nodes.unionByName(df)
+    edges = None
+    for df in edge_dfs:
+        edges = df if edges is None else edges.unionByName(df)
+    merged_nodes = (
+        nodes.groupBy("eid")
+        .agg(
+            F.any_value("pattern").alias("pattern"),
+            F.any_value("words").alias("words"),
+            F.any_value("pos_tags").alias("pos_tags"),
+            F.any_value("skeleton_words").alias("skeleton_words"),
+            F.any_value("verbs").alias("verbs"),
+            F.sum("frequency").alias("frequency"),
+        )
+    )
+    merged_edges = (
+        edges.groupBy("rid", "hid", "tid", "sense")
+        .agg(F.sum("weight").alias("weight"))
+        .select("rid", "hid", "tid", "sense", "weight")
+    )
+    return merged_nodes, merged_edges
+
+
+def write_graph_tables(nodes: DataFrame, edges: DataFrame, lineage: DataFrame,
+                       workdir: str, n_buckets: int = 64, mode: str = "overwrite"):
+    """Materialize partitioned graph tables.
+
+    Layout: hash-bucketed by node/edge key so point lookups and
+    co-partitioned joins prune files (the parquet stand-in for Iceberg
+    ``bucket(64, eid)`` partitioning; swap writeTo(...).partitionedBy(
+    bucket(...)) when an Iceberg catalog is configured).
+    """
+    bucket = lambda c: F.pmod(F.xxhash64(c), F.lit(n_buckets)).alias("bucket")
+    (nodes.withColumn("bucket", bucket("eid"))
+          .repartition("bucket")
+          .write.mode(mode).partitionBy("bucket")
+          .parquet(f"{workdir}/nodes"))
+    (edges.withColumn("bucket", bucket("hid"))
+          .repartition("bucket")
+          .write.mode(mode).partitionBy("bucket")
+          .parquet(f"{workdir}/edges"))
+    (lineage.withColumn("bucket", bucket("eid"))
+            .repartition("bucket")
+            .write.mode(mode).partitionBy("bucket")
+            .parquet(f"{workdir}/lineage"))

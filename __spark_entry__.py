@@ -1,38 +1,614 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship ASER-style KG build (synthesized transcripts ->
+parse -> eventuality patterns -> discourse relations -> weighted graph),
+plus a scan of the sf0.001 tables.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2 + the training-data ops (dedup / text-analysis /
+similarity).  SQL-expressible operators carry a DuckDB oracle with
+bit-reproducible hash arithmetic (md5-hex -> int); the KG extraction
+operators are non-SQL-expressible (dependency-pattern matching) and are
+gated instead by the pytest P/R suite vs frozen reference goldens.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+_SHIPPED_SESSIONS = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make aser_spark importable on python workers (addPyFile zip) — the
+    local-mode equivalent of spark-submit --py-files."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    zpath = Path("/tmp/aser_spark_pkg.zip")
+    src = REPO / "aser_spark"
+    stamp = max(p.stat().st_mtime for p in src.rglob("*.py"))
+    if not zpath.exists() or zpath.stat().st_mtime < stamp:
+        tmp = zpath.with_suffix(".zip.tmp")
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in src.rglob("*.py"):
+                z.write(p, p.relative_to(REPO))
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(str(zpath))
+    _SHIPPED_SESSIONS.add(key)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship KG build (cached per session so the kg_* queries share one pass)
+# --------------------------------------------------------------------------
+_KG_CACHE: dict = {}
+
+
+def _kg(spark: SparkSession, n_convs: int = 400):
+    key = (id(spark), n_convs)
+    if key not in _KG_CACHE:
+        _ship_package(spark)
+        from aser_spark.datagen import transcripts_df
+        from aser_spark.pipeline import build_knowledge_graph, extract_graph_instances
+
+        t = transcripts_df(spark, n_convs, seed=42)
+        inst = extract_graph_instances(t).cache()
+        nodes, edges, lineage = build_knowledge_graph(inst)
+        _KG_CACHE[key] = {
+            "instances": inst,
+            "nodes": nodes.cache(),
+            "edges": edges.cache(),
+            "lineage": lineage,
+        }
+    return _KG_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the eventuality KG and return the strongest
+    discourse edges with readable head/tail eventualities."""
+    sf_dir = "/root/testdata/sf0.001"
+    # touch the driver-provided tables (scan sanity at smallest sf)
+    n_docs = _t(spark, sf_dir, "documents").count()
+    assert n_docs >= 0
+
+    kg = _kg(spark, n_convs=200)
+    nodes, edges = kg["nodes"], kg["edges"]
+    h = nodes.select(F.col("eid").alias("hid"),
+                     F.concat_ws(" ", "words").alias("head_words"))
+    t = nodes.select(F.col("eid").alias("tid"),
+                     F.concat_ws(" ", "words").alias("tail_words"))
+    return (
+        edges.filter(F.col("sense") != "Co_Occurrence")
+        .join(F.broadcast(h), "hid").join(F.broadcast(t), "tid")
+        .select("head_words", "sense", "tail_words",
+                F.round("weight", 4).alias("weight"))
+        .orderBy(F.desc("weight"), "sense", "head_words", "tail_words")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# query battery
+# --------------------------------------------------------------------------
+
+def _q_agg_event_type_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"),
+             F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def _q_salted_user_value_sum(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.pipeline.aggregate import salted_sum
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    out = salted_sum(ev, ["user_id"], "value", "user_id", n_salts=16)
+    return out.select("user_id", F.round("value", 4).alias("total_value"))
+
+
+def _q_freq_threshold_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 15)
+    )
+
+
+def _q_semi_join_active_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+def _q_adjacent_event_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_event_type", F.lead("event_type").over(w))
+        .filter(F.col("next_event_type").isNotNull())
+        .groupBy("event_type", "next_event_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+def _q_topk_events_per_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("event_type", "rank", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+def _q_union_merge_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    return (
+        a.unionByName(b)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+def _q_tpch_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_join_region_order_volume(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+def _q_frequency_sweep_users(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.queries import frequency_sweep
+
+    users = (
+        _t(spark, sf_dir, "events").groupBy("user_id")
+        .agg(F.count("*").cast("double").alias("frequency"))
+    )
+    return frequency_sweep(users, thresholds=(5.0, 10.0, 15.0, 20.0, 25.0))
+
+
+def _q_exact_dedup_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        ).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+def _q_token_stats_documents(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.textops import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_quality_scores_documents(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.textops import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_language_id_documents(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.textops import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint_documents(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.textops import document_fingerprint
+
+    return document_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.textops import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.35, length_band=16)
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.textops import minhash_signatures
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return minhash_signatures(d, n=4, num_perm=8)
+
+
+def _q_simhash_documents(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.textops import simhash
+
+    return simhash(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200), bits=16)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.textops import brute_force_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_cosine_topk(e, k=3, max_queries=40)
+
+
+def _q_lsh_signatures(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.textops import hyperplane_signatures
+
+    return hyperplane_signatures(_t(spark, sf_dir, "embeddings"), n_planes=6)
+
+
+# --- KG pipeline queries (non-SQL-expressible: rows-only driver check;
+#     correctness is gated by the pytest P/R suite vs reference goldens) ---
+
+def _q_kg_nodes(spark, sf_dir):
+    nodes = _kg(spark)["nodes"]
+    return nodes.select("eid", F.concat_ws(" ", "words").alias("eventuality"),
+                        "pattern", "frequency")
+
+
+def _q_kg_edges(spark, sf_dir):
+    return _kg(spark)["edges"]
+
+
+def _q_kg_core_edges(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.pipeline.graph import build_core_kg
+
+    kg = _kg(spark)
+    _, core_edges = build_core_kg(kg["nodes"], kg["edges"])
+    return core_edges
+
+
+def _q_kg_sense_histogram(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.queries import sense_histogram
+
+    return sense_histogram(_kg(spark)["edges"]).withColumn(
+        "total_weight", F.round("total_weight", 4))
+
+
+def _q_kg_top_related(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.queries import related_eventualities
+
+    kg = _kg(spark)
+    top = kg["nodes"].orderBy(F.desc("frequency"), "eid").limit(1).collect()[0].eid
+    out = related_eventualities(kg["nodes"], kg["edges"], top)
+    return out.select("tid", F.concat_ws(" ", "words").alias("eventuality"),
+                      F.round("total_weight", 4).alias("total_weight"))
+
+
+def _q_kg_lineage(spark, sf_dir):
+    return _kg(spark)["lineage"].select("eid", "n_mentions")
+
+
+def _q_lsh_candidate_pairs(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.textops import lsh_candidate_pairs, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return lsh_candidate_pairs(minhash_signatures(d, n=4, num_perm=8), bands=4)
+
+
+def _q_media_features(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.textops.multimodal import extract_media_features, synthesize_media
+
+    return extract_media_features(synthesize_media(spark, n=48)).drop("features")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "agg_event_type_stats": _q_agg_event_type_stats,
+        "salted_user_value_sum": _q_salted_user_value_sum,
+        "freq_threshold_filter": _q_freq_threshold_filter,
+        "semi_join_active_customers": _q_semi_join_active_customers,
+        "adjacent_event_transitions": _q_adjacent_event_transitions,
+        "topk_events_per_type": _q_topk_events_per_type,
+        "union_merge_lineitem": _q_union_merge_lineitem,
+        "tpch_q1_pricing": _q_tpch_q1_pricing,
+        "join_region_order_volume": _q_join_region_order_volume,
+        "frequency_sweep_users": _q_frequency_sweep_users,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "token_stats_documents": _q_token_stats_documents,
+        "quality_scores_documents": _q_quality_scores_documents,
+        "language_id_documents": _q_language_id_documents,
+        "fingerprint_documents": _q_fingerprint_documents,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "minhash_signatures": _q_minhash_signatures,
+        "simhash_documents": _q_simhash_documents,
+        "cosine_topk": _q_cosine_topk,
+        "lsh_signatures": _q_lsh_signatures,
+        "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
+        "kg_core_edges": _q_kg_core_edges,
+        "kg_sense_histogram": _q_kg_sense_histogram,
+        "kg_top_related": _q_kg_top_related,
+        "kg_lineage": _q_kg_lineage,
+        "lsh_candidate_pairs": _q_lsh_candidate_pairs,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_EN_STOP = "('the','and','of','to','is','in','that','it','was','for')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    # constant upper bound for the position series (DuckDB generate_series
+    # rejects subquery bounds); docs are well under 4096 chars at every sf
+    series = ("(SELECT CAST(generate_series AS INT) AS i "
+              "FROM generate_series(1, 4096))")
+    grams4 = f"""
+        WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 150),
+        g AS (SELECT DISTINCT doc_id, substr(t, i, 4) AS gram
+              FROM d JOIN {series} s ON s.i <= greatest(length(t) - 3, 1))
     """
-    return {}
+    return {
+        "agg_event_type_stats": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS total_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "salted_user_value_sum": """
+            SELECT user_id, ROUND(SUM(value), 4) AS total_value
+            FROM events GROUP BY user_id
+        """,
+        "freq_threshold_filter": """
+            SELECT user_id, COUNT(*) AS n FROM events
+            GROUP BY user_id HAVING COUNT(*) >= 15
+        """,
+        "semi_join_active_customers": """
+            SELECT c_custkey, c_nationkey FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "adjacent_event_transitions": """
+            WITH w AS (
+              SELECT event_type,
+                     LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_type
+              FROM events)
+            SELECT event_type, next_event_type, COUNT(*) AS n_transitions
+            FROM w WHERE next_event_type IS NOT NULL
+            GROUP BY event_type, next_event_type
+        """,
+        "topk_events_per_type": """
+            WITH r AS (
+              SELECT event_type, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+              FROM events)
+            SELECT event_type, CAST(rank AS INT) AS rank, event_id,
+                   ROUND(value, 4) AS value
+            FROM r WHERE rank <= 5
+        """,
+        "union_merge_lineitem": """
+            WITH u AS (
+              SELECT * FROM lineitem WHERE l_orderkey % 2 = 0
+              UNION ALL
+              SELECT * FROM lineitem WHERE l_orderkey % 2 = 1)
+            SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM u GROUP BY l_returnflag
+        """,
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_region_order_volume": """
+            SELECT r_name AS region, n_name AS nation,
+                   COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "frequency_sweep_users": """
+            WITH users AS (
+              SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS frequency
+              FROM events GROUP BY user_id),
+            bucketed AS (
+              SELECT CASE
+                WHEN frequency >= 25 THEN 25.0
+                WHEN frequency >= 20 THEN 20.0
+                WHEN frequency >= 15 THEN 15.0
+                WHEN frequency >= 10 THEN 10.0
+                WHEN frequency >= 5 THEN 5.0 END AS threshold_bucket
+              FROM users),
+            counts AS (
+              SELECT threshold_bucket, COUNT(*) AS n FROM bucketed
+              WHERE threshold_bucket IS NOT NULL GROUP BY threshold_bucket)
+            SELECT CAST(threshold_bucket AS DOUBLE) AS threshold,
+                   CAST(SUM(n) OVER (ORDER BY threshold_bucket DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_nodes_at_or_above
+            FROM counts
+        """,
+        "exact_dedup_documents": f"""
+            SELECT md5({_NORM_SQL}) AS text_hash, COUNT(*) AS n_dups,
+                   MIN(doc_id) AS canonical_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "token_stats_documents": f"""
+            WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+            SELECT doc_id, length(t) AS n_chars,
+                   len(string_split(t, ' ')) AS n_ws_tokens,
+                   len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_regex_tokens
+            FROM d
+        """,
+        "quality_scores_documents": f"""
+            WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            f AS (
+              SELECT doc_id, length(t) AS n_chars,
+                     length(t) - length(regexp_replace(t, '[^\\w\\s]', '', 'g')) AS n_punct,
+                     length(t) - length(regexp_replace(t, '[^0-9]', '', 'g')) AS n_digit,
+                     len(string_split(t, ' ')) AS n_tok,
+                     len(list_filter(string_split(t, ' '), x -> x IN {_EN_STOP})) AS n_stop
+              FROM d)
+            SELECT doc_id,
+                   ROUND(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+                   ROUND(n_digit / greatest(n_chars, 1), 6) AS digit_ratio,
+                   ROUND(n_stop / greatest(n_tok, 1), 6) AS stopword_ratio,
+                   ROUND(n_chars / greatest(n_tok, 1), 6) AS mean_token_len,
+                   ROUND(1.0
+                     - least(ROUND(n_punct / greatest(n_chars, 1), 6) * 2, 0.5)
+                     - least(ROUND(n_digit / greatest(n_chars, 1), 6) * 2, 0.3)
+                     + least(ROUND(n_stop / greatest(n_tok, 1), 6), 0.2), 6) AS quality_score
+            FROM f
+        """,
+        "language_id_documents": f"""
+            WITH d AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+            h AS (
+              SELECT doc_id, lang,
+                len(list_filter(toks, x -> x IN {_EN_STOP})) AS en_h,
+                len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','sich','auf'))) AS de_h,
+                len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','dans','que','pour','pas'))) AS fr_h,
+                len(list_filter(toks, x -> x IN ('el','la','los','y','es','una','en','que','por','con'))) AS es_h
+              FROM d)
+            SELECT doc_id, lang,
+              CASE
+                WHEN de_h = greatest(en_h, de_h, fr_h, es_h) AND greatest(en_h, de_h, fr_h, es_h) > 0 THEN 'de'
+                WHEN en_h = greatest(en_h, de_h, fr_h, es_h) AND greatest(en_h, de_h, fr_h, es_h) > 0 THEN 'en'
+                WHEN es_h = greatest(en_h, de_h, fr_h, es_h) AND greatest(en_h, de_h, fr_h, es_h) > 0 THEN 'es'
+                WHEN fr_h = greatest(en_h, de_h, fr_h, es_h) AND greatest(en_h, de_h, fr_h, es_h) > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang
+            FROM h
+        """,
+        "fingerprint_documents": f"""
+            WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+            SELECT doc_id, md5(t) AS fingerprint,
+                   md5(substr(t, 1, 64)) AS prefix_fingerprint
+            FROM d
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 150),
+            g AS (SELECT DISTINCT doc_id, substr(t, i, 3) AS gram
+                  FROM d JOIN {series} s ON s.i <= greatest(length(t) - 2, 1)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+            bands AS (SELECT doc_id, CAST(floor(length(t) / 16) AS INT) AS len_band FROM d),
+            gg AS (SELECT g.doc_id, gram, n_grams, len_band
+                   FROM g JOIN sizes USING (doc_id) JOIN bands USING (doc_id)),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.n_grams AS na, b.n_grams AS nb, COUNT(*) AS i
+              FROM gg a JOIN gg b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id AND a.len_band = b.len_band
+              GROUP BY 1, 2, 3, 4)
+            SELECT doc_a, doc_b, ROUND(i / (na + nb - i), 6) AS jaccard
+            FROM inter WHERE ROUND(i / (na + nb - i), 6) >= 0.35
+        """,
+        "minhash_signatures": grams4 + f"""
+            SELECT doc_id, CAST(p.perm AS INT) AS perm,
+                   MIN({_H60.format(x="gram || '#' || p.perm")}) AS minhash
+            FROM g, (SELECT CAST(generate_series AS INT) AS perm
+                     FROM generate_series(0, 7)) p
+            GROUP BY doc_id, p.perm
+        """,
+        "simhash_documents": f"""
+            WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 200),
+            tok AS (SELECT DISTINCT doc_id, tk.x AS token
+                    FROM d, unnest(string_split(t, ' ')) tk(x)
+                    WHERE length(tk.x) > 0),
+            th AS (SELECT doc_id, {_H60.format(x="token")} AS h FROM tok),
+            bits AS (SELECT doc_id, CAST(b.generate_series AS INT) AS bit, h
+                     FROM th, generate_series(0, 15) b),
+            contrib AS (SELECT doc_id, bit,
+                               SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                        FROM bits GROUP BY doc_id, bit),
+            bv AS (SELECT doc_id, bit, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bitval
+                   FROM contrib)
+            SELECT doc_id, SUM(CAST(bitval AS BIGINT) << bit) AS simhash
+            FROM bv GROUP BY doc_id
+        """,
+        "cosine_topk": """
+            WITH pairs AS (
+              SELECT q.vec_id AS qid, c.vec_id AS cid,
+                     ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+                           (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+                            sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos_sim
+              FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 40),
+            r AS (SELECT qid, cid, cos_sim,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rank
+                  FROM pairs)
+            SELECT qid, CAST(rank AS INT) AS rank, cid, cos_sim
+            FROM r WHERE rank <= 3
+        """,
+        "lsh_signatures": """
+            WITH planes AS (SELECT vec_id AS plane_id, embedding AS pv
+                            FROM embeddings WHERE vec_id < 6),
+            bits AS (
+              SELECT e.vec_id, p.plane_id,
+                     CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) >= 0
+                          THEN '1' ELSE '0' END AS bit
+              FROM embeddings e, planes p)
+            SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS sig
+            FROM bits GROUP BY vec_id
+        """,
+    }

@@ -1,0 +1,16 @@
+"""Large-scale training-data pipeline operators over document/embedding
+tables: deduplication, text analysis/quality, similarity search, and
+multimodal column plumbing.
+
+Everything is built from JVM-side pyspark.sql.functions (higher-order
+functions, no Python UDFs) except the explicitly-stubbed multimodal
+decoders, so plans stay inside whole-stage codegen and scale with
+partitions.  Hash primitives are md5-hex based so a DuckDB oracle can
+reproduce values bit-for-bit.
+"""
+
+from .dedup import (exact_duplicates, minhash_signatures, lsh_candidate_pairs,
+                    ngram_jaccard_pairs, simhash)
+from .quality import (document_fingerprint, language_id, quality_scores,
+                      token_stats)
+from .similarity import brute_force_cosine_topk, hyperplane_signatures, lsh_ann_topk

@@ -1,0 +1,158 @@
+"""Deduplication operators over a ``documents(doc_id, text, ...)`` table.
+
+Four escalating strategies, all oracle-reproducible (md5-hex arithmetic):
+
+* exact          — hash-groupBy on normalized text (one shuffle, short key)
+* n-gram Jaccard — character-shingle set overlap via explode + equi-join on
+                   the gram, banded by length so the self-join never goes
+                   quadratic in the corpus
+* MinHash + LSH  — k salted min-hashes -> bands -> bucket join; pair cost is
+                   ~|bucket|^2 only inside colliding buckets
+* SimHash        — per-bit weighted majority over token hashes -> compact
+                   signature; near-dups differ in few bits
+
+All hash primitives are ``conv(substr(md5(x),1,15),16,10)`` so a DuckDB
+oracle reproduces every value bit-for-bit
+(``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``).  At 100 TB the only
+quadratic danger is the pair join; both LSH and the gram join are bucketed
+so work is proportional to actual collisions, and AQE skew-join splits
+pathological buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_WS = r"\s+"
+
+
+def _norm(col):
+    return F.lower(F.regexp_replace(F.trim(col), _WS, " "))
+
+
+def _hash60(col):
+    """60-bit integer hash (md5-prefix), DuckDB-reproducible."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Normalized-text hash groups with >1 member."""
+    return (
+        documents
+        .select("doc_id", F.md5(_norm(F.col("text"))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def doc_grams(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct character n-grams per document (explode positions +
+    substr — whole-stage-codegen expressions only)."""
+    return (
+        documents
+        .select("doc_id", _norm(F.col("text")).alias("_t"))
+        .select("doc_id", "_t",
+                F.explode(F.sequence(
+                    F.lit(1), F.greatest(F.length("_t") - (n - 1), F.lit(1))
+                )).alias("i"))
+        .select("doc_id", F.expr(f"substr(_t, i, {n})").alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
+                        threshold: float = 0.8,
+                        length_band: int = 16) -> DataFrame:
+    """Near-duplicate pairs by character-n-gram Jaccard similarity.
+
+    Self-join on the gram restricted to equal length bands
+    (floor(len/band)): true near-dups have similar lengths, so banding
+    bounds the join fanout.
+    """
+    g = doc_grams(documents, n)
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    bands = documents.select(
+        "doc_id", (F.length(_norm(F.col("text"))) / length_band).cast("int").alias("len_band"))
+    g = g.join(sizes, "doc_id").join(bands, "doc_id")
+
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) &
+                  (F.col("a.doc_id") < F.col("b.doc_id")) &
+                  (F.col("a.len_band") == F.col("b.len_band")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n_grams").alias("na"), F.col("b.n_grams").alias("nb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(documents: DataFrame, n: int = 4,
+                       num_perm: int = 16) -> DataFrame:
+    """(doc_id, perm, minhash) long-form signatures — k salted min-hashes
+    over character n-gram shingles, computed in ONE aggregation: per-gram
+    hash array for all perms, elementwise-min combined via ``aggregate``
+    over ``zip_with``.  One shuffle regardless of k."""
+    g = doc_grams(documents, n)
+    hashes = F.array(*[
+        _hash60(F.concat(F.col("gram"), F.lit(f"#{p}"))) for p in range(num_perm)
+    ])
+    sentinel = F.array(*[F.lit(2 ** 62).cast("long")] * num_perm)
+    agg = (
+        g.select("doc_id", hashes.alias("h"))
+        .groupBy("doc_id")
+        .agg(F.aggregate(
+            F.collect_list("h"), sentinel,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+        ).alias("sig"))
+    )
+    return agg.select("doc_id", F.posexplode("sig").alias("perm", "minhash"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """Band the long-form signatures and bucket-join: documents sharing any
+    full band hash are near-duplicate candidates."""
+    band_sig = (
+        signatures.withColumn("band", F.col("perm") % bands)
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
+            F.concat_ws(":", "perm", "minhash"))))).alias("band_hash"))
+    )
+    a, b = band_sig.alias("a"), band_sig.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) &
+                  (F.col("a.band_hash") == F.col("b.band_hash")) &
+                  (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """Per-document SimHash over distinct tokens: sign of the per-bit sum of
+    +1/-1 contributions from each token's 60-bit hash."""
+    tok = (
+        documents
+        .select("doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+        .withColumn("h", _hash60(F.col("token")))
+    )
+    bit = (
+        tok.select("doc_id", "h",
+                   F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
+        # +1 if the bit is set, else -1 (expr form: shift amount is a column)
+        .withColumn("contrib",
+                    F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)))
+    )
+    return (
+        bit.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, 1).otherwise(0))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("cast(bitval as bigint) << bit")).alias("simhash"))
+    )

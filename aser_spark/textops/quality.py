@@ -1,0 +1,93 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+fingerprinting — all whole-stage-codegen expressions (no UDFs), each with a
+DuckDB-reproducible formulation for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_WS = r"\s+"
+_WORD = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword-hit heuristic
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "en", "que", "por", "con"),
+}
+
+
+def _norm(col):
+    return F.lower(F.regexp_replace(F.trim(col), _WS, " "))
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace token count, BPE-ish regex token count, char length."""
+    t = _norm(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        F.size(F.split(t, " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(_WORD), 0)).alias("n_regex_tokens"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Length/punctuation/digit/stopword ratio features + a composite score
+    (the standard pre-training quality gate shape)."""
+    t = _norm(F.col("text"))
+    n_chars = F.length(t)
+    strip = lambda pat: (n_chars - F.length(F.regexp_replace(t, pat, "")))
+    n_punct = strip(r"[^\w\s]")
+    n_digit = strip(r"[^0-9]")
+    tokens = F.split(t, " ")
+    n_tok = F.size(tokens)
+    n_stop = F.size(F.filter(tokens, lambda w: w.isin(*LANG_STOPWORDS["en"])))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    digit_ratio = F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    mean_tok_len = F.round(n_chars / F.greatest(n_tok, F.lit(1)), 6)
+    score = F.round(
+        F.lit(1.0)
+        - F.least(punct_ratio * 2, F.lit(0.5))
+        - F.least(digit_ratio * 2, F.lit(0.3))
+        + F.least(stop_ratio, F.lit(0.2)),
+        6,
+    )
+    return documents.select(
+        "doc_id", punct_ratio.alias("punct_ratio"), digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"), mean_tok_len.alias("mean_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language heuristic: argmax of per-language stopword hit
+    counts over the token set (deterministic tie-break by language code)."""
+    tokens = F.split(_norm(F.col("text")), " ")
+
+    def _counter(sw):
+        return lambda w: w.isin(*sw)
+
+    hits = {
+        lang: F.size(F.filter(tokens, _counter(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return documents.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def document_fingerprint(documents: DataFrame) -> DataFrame:
+    """Stable content fingerprints: full-text md5 + a locality-preserving
+    prefix fingerprint (first 64 normalized chars) for clustering."""
+    t = _norm(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.md5(t).alias("fingerprint"),
+        F.md5(F.substring(t, 1, 64)).alias("prefix_fingerprint"),
+    )

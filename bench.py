@@ -1,0 +1,110 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Headline = the flagship KG build (transcripts -> parse -> extract ->
+aggregate -> core filter) sized to the scale factor (~200k turns at sf0.1),
+plus representative relational / dedup / similarity queries over the
+driver-provided tables.  Also reports turns/sec for the KG build — the
+BASELINE.json throughput metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# conversations per unit sf: sf0.1 -> ~25k convs (~200k turns)
+CONVS_PER_SF = 250_000
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = Path(sf_dir).name  # e.g. sf0.1
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main():
+    sf = _sf_from_dir(SF_DIR)
+    n_convs = max(int(CONVS_PER_SF * sf), 200)
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from aser_spark.config import get_spark
+    from aser_spark.datagen import transcripts_df
+    from aser_spark.pipeline import build_knowledge_graph, extract_graph_instances
+    from aser_spark.pipeline.graph import build_core_kg
+
+    spark = get_spark(app="aser-bench", cpus=CPUS,
+                      shuffle_partitions=max(CPUS * 2, 16))
+    E._ship_package(spark)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- flagship: KG construction throughput -----------------------------
+    t0 = time.time()
+    transcripts = transcripts_df(spark, n_convs, seed=42)
+    n_turns = transcripts.count()
+    gen_sec = time.time() - t0
+
+    t0 = time.time()
+    inst = extract_graph_instances(transcripts)
+    nodes, edges, lineage = build_knowledge_graph(inst)
+    core_nodes, core_edges = build_core_kg(nodes, edges)
+    # one action materializes the whole DAG (extraction shuffle reused)
+    counts = (
+        nodes.agg(F.count("*").alias("n"), F.sum("frequency").alias("f")).collect(),
+        edges.agg(F.count("*")).collect(),
+        core_edges.agg(F.count("*")).collect(),
+        lineage.agg(F.count("*")).collect(),
+    )
+    kg_sec = time.time() - t0
+    timings["kg_build"] = round(kg_sec, 3)
+    extras["kg_gen_sec"] = round(gen_sec, 3)
+    extras["n_turns"] = n_turns
+    extras["turns_per_sec"] = round(n_turns / kg_sec, 1)
+    extras["n_nodes"] = int(counts[0][0]["n"])
+    extras["n_edges"] = int(counts[1][0][0])
+
+    # --- representative operator queries over the sf tables ---------------
+    heads = [
+        "tpch_q1_pricing", "join_region_order_volume",
+        "adjacent_event_transitions", "salted_user_value_sum",
+        "minhash_signatures", "ngram_jaccard_pairs", "simhash_documents",
+        "cosine_topk", "lsh_candidate_pairs",
+    ]
+    qs = E.queries()
+    for name in heads:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        extras[f"rows_{name}"] = n
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -87,10 +87,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
     kg = _kg(spark, n_convs=200)
     nodes, edges = kg["nodes"], kg["edges"]
-    h = nodes.select(F.col("eid").alias("hid"),
-                     F.concat_ws(" ", "words").alias("head_words"))
-    t = nodes.select(F.col("eid").alias("tid"),
-                     F.concat_ws(" ", "words").alias("tail_words"))
+    h = nodes.select(F.col("eid").alias("hid"), F.col("words").alias("head_words"))
+    t = nodes.select(F.col("eid").alias("tid"), F.col("words").alias("tail_words"))
     return (
         edges.filter(F.col("sense") != "Co_Occurrence")
         .join(F.broadcast(h), "hid").join(F.broadcast(t), "tid")
@@ -301,7 +299,7 @@ def _q_lsh_signatures(spark, sf_dir):
 
 def _q_kg_nodes(spark, sf_dir):
     nodes = _kg(spark)["nodes"]
-    return nodes.select("eid", F.concat_ws(" ", "words").alias("eventuality"),
+    return nodes.select("eid", F.col("words").alias("eventuality"),
                         "pattern", "frequency")
 
 
@@ -333,7 +331,7 @@ def _q_kg_top_related(spark, sf_dir):
     kg = _kg(spark)
     top = kg["nodes"].orderBy(F.desc("frequency"), "eid").limit(1).collect()[0].eid
     out = related_eventualities(kg["nodes"], kg["edges"], top)
-    return out.select("tid", F.concat_ws(" ", "words").alias("eventuality"),
+    return out.select("tid", F.col("words").alias("eventuality"),
                       F.round("total_weight", 4).alias("total_weight"))
 
 

@@ -26,7 +26,7 @@ DEFAULT_SALTS = 32
 def nodes_from_instances(instances: DataFrame) -> DataFrame:
     return instances.filter(F.col("kind") == "node").select(
         "conv_id", "turn_idx", "sent_idx", "eid", "pattern", "words",
-        "pos_tags", "skeleton_word_indices", "verb_indices", "frequency",
+        "pos_tags", "skeleton_words", "verbs", "frequency",
     )
 
 
@@ -44,14 +44,10 @@ def aggregate_nodes(ev_instances: DataFrame) -> DataFrame:
     heuristic; sum/any_value combine map-side, which already neutralizes
     hot-key skew for this aggregate.
     """
-    skeleton_words = F.expr(
-        "transform(skeleton_word_indices, i -> words[i])"
-    ).alias("skeleton_words")
-    verbs = F.expr("transform(verb_indices, i -> words[i])").alias("verbs")
     return (
         ev_instances
         .select("eid", "pattern", "words", "pos_tags", "frequency",
-                skeleton_words, verbs)
+                "skeleton_words", "verbs")
         .groupBy("eid")
         .agg(
             F.any_value(F.col("pattern")).alias("pattern"),

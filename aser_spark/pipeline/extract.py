@@ -153,20 +153,21 @@ def extract_graph_instances(transcripts, num_partitions=None):
                     keys.append((int(turn_idx), sent_idx))
             for (turn_idx, sent_idx), evs in zip(keys, para_evs):
                 for e in evs:
+                    w = e["words"]
                     out.append((
                         "node", conv_id, turn_idx, sent_idx, e["eid"],
-                        e["pattern"], e["words"], e["pos_tags"],
-                        [tuple(d) for d in e["dependencies"]],
-                        e["skeleton_word_indices"], e["verb_indices"],
+                        e["pattern"], " ".join(w), " ".join(e["pos_tags"]),
+                        " ".join(w[i] for i in e["skeleton_word_indices"]),
+                        " ".join(w[i] for i in e["verb_indices"]),
                         e["position"], e["frequency"],
                         None, None, None, None,
                     ))
-            for hid, tid, sense, w in extract_paragraph_relations(sentences, para_evs):
+            for hid, tid, sense, wt in extract_paragraph_relations(sentences, para_evs):
                 out.append((
                     "edge", conv_id, None, None, None, None, None, None,
-                    None, None, None, None, None, hid, tid, sense, w,
+                    None, None, None, None, hid, tid, sense, wt,
                 ))
-            if len(out) >= 8192:
+            if len(out) >= 16384:
                 yield pd.DataFrame(out, columns=_INST_COLS)
                 out = []
         yield pd.DataFrame(out, columns=_INST_COLS)

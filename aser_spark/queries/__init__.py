@@ -10,8 +10,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def exact_match_eventuality(nodes: DataFrame, words: list) -> DataFrame:
-    """kg_connection.py:117-136 cache-key match: ' '.join(words)."""
-    return nodes.filter(F.concat_ws(" ", F.col("words")) == " ".join(words))
+    """kg_connection.py:117-136 cache-key match: ' '.join(words) — the node
+    table stores exactly that rendering."""
+    return nodes.filter(F.col("words") == " ".join(words))
 
 
 def related_eventualities(nodes: DataFrame, edges: DataFrame, eid: str) -> DataFrame:
@@ -31,9 +32,10 @@ def partial_match_top_k(nodes: DataFrame, words: list, k: int = 10,
     """T2 (kg_connection.py:479-528): Jaccard word-overlap ranking via
     array_intersect/array_union — JVM-side, no UDF."""
     probe = F.array(*[F.lit(w) for w in words])
+    toks = F.split(F.col("words"), " ")
     sim = (
-        F.size(F.array_intersect(F.col("words"), probe)) /
-        F.size(F.array_union(F.col("words"), probe))
+        F.size(F.array_intersect(toks, probe)) /
+        F.size(F.array_union(toks, probe))
     ).alias("similarity")
     return (
         nodes.select("eid", "words", "pattern", "frequency", sim)

@@ -53,8 +53,12 @@ RELATION_INSTANCE_SCHEMA = T.StructType([
 ])
 
 # unified single-pass extraction output: node rows carry eventuality fields,
-# edge rows carry (hid, tid, sense); `kind` discriminates. One schema lets
-# the fused conv-grouped UDF parse each turn exactly once.
+# edge rows carry (hid, tid, sense); `kind` discriminates.  One schema lets
+# the fused conv-grouped UDF parse each turn exactly once.  All payloads are
+# FLAT scalars (word lists space-joined — the reference's own cache-key
+# rendering, kg_connection.py:117-118): Arrow transfer of flat string
+# columns is ~10x cheaper than list<struct> columns, and nothing downstream
+# of the fused path needs per-token structure (the eid already hashes it).
 INSTANCE_SCHEMA = T.StructType([
     T.StructField("kind", T.StringType(), False),  # 'node' | 'edge'
     T.StructField("conv_id", T.StringType(), False),
@@ -62,11 +66,10 @@ INSTANCE_SCHEMA = T.StructType([
     T.StructField("sent_idx", T.IntegerType(), True),
     T.StructField("eid", T.StringType(), True),
     T.StructField("pattern", T.StringType(), True),
-    T.StructField("words", T.ArrayType(T.StringType()), True),
-    T.StructField("pos_tags", T.ArrayType(T.StringType()), True),
-    T.StructField("dependencies", T.ArrayType(DEP_EDGE), True),
-    T.StructField("skeleton_word_indices", T.ArrayType(T.IntegerType()), True),
-    T.StructField("verb_indices", T.ArrayType(T.IntegerType()), True),
+    T.StructField("words", T.StringType(), True),           # "i be hungry"
+    T.StructField("pos_tags", T.StringType(), True),        # "PRP VBP JJ"
+    T.StructField("skeleton_words", T.StringType(), True),
+    T.StructField("verbs", T.StringType(), True),
     T.StructField("position", T.DoubleType(), True),
     T.StructField("frequency", T.DoubleType(), True),
     T.StructField("hid", T.StringType(), True),
@@ -80,10 +83,10 @@ INSTANCE_SCHEMA = T.StructType([
 NODE_SCHEMA = T.StructType([
     T.StructField("eid", T.StringType(), False),
     T.StructField("pattern", T.StringType(), False),
-    T.StructField("words", T.ArrayType(T.StringType()), False),
-    T.StructField("pos_tags", T.ArrayType(T.StringType()), False),
-    T.StructField("skeleton_words", T.ArrayType(T.StringType()), False),
-    T.StructField("verbs", T.ArrayType(T.StringType()), False),
+    T.StructField("words", T.StringType(), False),
+    T.StructField("pos_tags", T.StringType(), False),
+    T.StructField("skeleton_words", T.StringType(), False),
+    T.StructField("verbs", T.StringType(), False),
     T.StructField("frequency", T.DoubleType(), False),
 ])
 

@@ -95,23 +95,22 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
 def minhash_signatures(documents: DataFrame, n: int = 4,
                        num_perm: int = 16) -> DataFrame:
     """(doc_id, perm, minhash) long-form signatures — k salted min-hashes
-    over character n-gram shingles, computed in ONE aggregation: per-gram
-    hash array for all perms, elementwise-min combined via ``aggregate``
-    over ``zip_with``.  One shuffle regardless of k."""
+    over character n-gram shingles.
+
+    Plan shape: per-gram hash ARRAY for all perms (computed once per gram,
+    whole-stage codegen), posexplode to (doc_id, perm, h), then ONE
+    partial+final min aggregation.  Higher-order fold alternatives
+    (aggregate over collect_list) are CodegenFallback — interpreted per
+    element — and benchmarked ~30x slower."""
     g = doc_grams(documents, n)
     hashes = F.array(*[
         _hash60(F.concat(F.col("gram"), F.lit(f"#{p}"))) for p in range(num_perm)
     ])
-    sentinel = F.array(*[F.lit(2 ** 62).cast("long")] * num_perm)
-    agg = (
-        g.select("doc_id", hashes.alias("h"))
-        .groupBy("doc_id")
-        .agg(F.aggregate(
-            F.collect_list("h"), sentinel,
-            lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
-        ).alias("sig"))
+    return (
+        g.select("doc_id", F.posexplode(hashes).alias("perm", "h"))
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
     )
-    return agg.select("doc_id", F.posexplode("sig").alias("perm", "minhash"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:

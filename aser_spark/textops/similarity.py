@@ -34,21 +34,60 @@ def cosine(a, b):
     return _dot(a, b) / (_norm2(a) * _norm2(b))
 
 
+def _pair_dot_udf():
+    """Vectorized (Arrow) pandas UDF computing per-pair dot products with
+    SEQUENTIAL per-dimension double accumulation — bit-identical to the
+    higher-order-function fold (and the DuckDB list_dot_product oracle),
+    but vectorized ACROSS pairs with numpy, ~20x faster than the
+    CodegenFallback HOF path on wide pair joins."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def dot(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.asarray(a.tolist(), dtype=np.float64)
+        B = np.asarray(b.tolist(), dtype=np.float64)
+        acc = np.zeros(len(A), dtype=np.float64)
+        for d in range(A.shape[1]):          # sequential over dims,
+            acc += A[:, d] * B[:, d]         # vectorized over pairs
+        return pd.Series(acc)
+
+    # real (non-stringified) annotations — this module uses
+    # `from __future__ import annotations`, which pandas_udf can't introspect
+    dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(dot, "double")
+
+
+def _with_norms(embeddings: DataFrame, id_alias: str, v_alias: str, n_alias: str):
+    """Project (id, double-vector, norm): the O(N) per-vector work happens
+    once here instead of once per pair."""
+    return embeddings.select(
+        F.col("vec_id").alias(id_alias),
+        _d(F.col("embedding")).alias(v_alias),
+        _norm2(F.col("embedding")).alias(n_alias),
+    )
+
+
 def brute_force_cosine_topk(embeddings: DataFrame, k: int = 5,
                             max_queries: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     The candidate side stays the full table; optionally bound the query
-    side (the reasonable production shape: few queries against a broadcast
-    or bucketed corpus)."""
-    q = embeddings.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    side (the production shape: a bounded query batch joined against a
+    broadcast/bucketed corpus).  Norms are precomputed per vector; the
+    per-pair dot product runs in an Arrow-vectorized pandas UDF."""
+    dot = _pair_dot_udf()
+    q = _with_norms(embeddings, "qid", "qv", "qn")
     if max_queries is not None:
         q = q.filter(F.col("qid") < max_queries)
-    c = embeddings.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim")
-    pairs = q.join(c, F.col("qid") != F.col("cid")).select("qid", "cid", sim)
+    c = _with_norms(embeddings, "cid", "cv", "cn")
+    pairs = q.join(c, F.col("qid") != F.col("cid"))
+    sim = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
-    return (pairs.withColumn("rank", F.row_number().over(w))
+    return (pairs.select("qid", "cid", sim.alias("cos_sim"))
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "cid", "cos_sim"))
 
@@ -76,15 +115,17 @@ def hyperplane_signatures(embeddings: DataFrame, n_planes: int = 8) -> DataFrame
 def lsh_ann_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 8) -> DataFrame:
     """Approximate top-k: candidates share the signature bucket; exact
     cosine rerank inside the bucket only."""
+    dot = _pair_dot_udf()
     sig = hyperplane_signatures(embeddings, n_planes)
     e = embeddings.join(sig, "vec_id")
-    q = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "sig")
-    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"),
-                 F.col("sig").alias("csig"))
+    q = _with_norms(e, "qid", "qv", "qn").join(
+        e.select(F.col("vec_id").alias("qid"), "sig"), "qid")
+    c = _with_norms(e, "cid", "cv", "cn").join(
+        e.select(F.col("vec_id").alias("cid"), F.col("sig").alias("csig")), "cid")
     pairs = q.join(c, (F.col("sig") == F.col("csig")) & (F.col("qid") != F.col("cid")))
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim")
+    sim = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
-    return (pairs.select("qid", "cid", sim)
+    return (pairs.select("qid", "cid", sim.alias("cos_sim"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "cid", "cos_sim"))

@@ -339,6 +339,39 @@ def _q_kg_lineage(spark, sf_dir):
     return _kg(spark)["lineage"].select("eid", "n_mentions")
 
 
+def _q_kg_concepts(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.pipeline.concepts import (aggregate_concepts,
+                                              probase_concepts, toy_probase)
+
+    kg = _kg(spark)
+    concept_nodes, _ = aggregate_concepts(
+        probase_concepts(kg["nodes"], toy_probase(spark), topk=3))
+    return concept_nodes.select("cid", "words", F.round("score", 4).alias("score"),
+                                "n_instances")
+
+
+def _q_kg_concept_relations(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.pipeline.concepts import (aggregate_concepts,
+                                              build_concept_relations,
+                                              probase_concepts, toy_probase)
+
+    kg = _kg(spark)
+    _, pairs = aggregate_concepts(
+        probase_concepts(kg["nodes"], toy_probase(spark), topk=3))
+    out = build_concept_relations(pairs, kg["edges"])
+    return out.select("rid", "h_cid", "t_cid", "sense",
+                      F.round("weight", 4).alias("weight"))
+
+
+def _q_kg_entity_links(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.pipeline.entities import link_entities, toy_kb
+
+    return link_entities(_kg(spark)["nodes"], toy_kb(spark))
+
+
 def _q_lsh_candidate_pairs(spark, sf_dir):
     _ship_package(spark)
     from aser_spark.textops import lsh_candidate_pairs, minhash_signatures
@@ -382,6 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sense_histogram": _q_kg_sense_histogram,
         "kg_top_related": _q_kg_top_related,
         "kg_lineage": _q_kg_lineage,
+        "kg_concepts": _q_kg_concepts,
+        "kg_concept_relations": _q_kg_concept_relations,
+        "kg_entity_links": _q_kg_entity_links,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "media_features": _q_media_features,
     }

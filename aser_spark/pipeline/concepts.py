@@ -1,0 +1,144 @@
+"""Conceptualization: eventualities -> abstracted concepts -> concept KG.
+
+Re-expresses the reference's conceptualize stack
+(/root/reference/aser/conceptualize/aser_conceptualizer.py,
+conceptualize/utils.py:8-68, concept.py:28-38,91-103) as DataFrame plans:
+
+* seed-rule abstraction (H6): personal pronouns -> __PERSON__<i> numbered by
+  first occurrence among the eventuality's distinct pronouns
+  (aser_conceptualizer.py:63-96) — pure array expressions, no UDF.
+* probase-style hypernym lift (J7/T3): broadcast join nouns against a
+  (instance, concept, likelihood) table, window top-k per instance
+  (concept.py:165-191, probase_topk config.py:118-119).  We materialize the
+  single-substitution expansion (the reference's beam restricted to
+  combination size 1 — the dominant mass; its full combinatorial beam is a
+  driver-side heap, not a scalable plan).
+* A4 score aggregation: cid -> sum(score * frequency), cid = sha1(words),
+  pid = sha1(cid$eid) — JVM-side sha1.
+* J5 concept-relation join: pairs ⋈ relations ⋈ pairs with score products
+  (conceptualize/utils.py:37-68).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# aser_conceptualizer.py:46-49
+PERSON_PRONOUNS = ("he", "she", "i", "him", "her", "me", "woman", "man",
+                   "boy", "girl", "you", "we", "they")
+
+
+def seed_rule_concepts(nodes: DataFrame) -> DataFrame:
+    """(eid, concept_words, score=1.0): pronoun-abstracted eventuality.
+
+    '__PERSON__<i>' numbering = index of the word among the DISTINCT
+    pronouns of this eventuality in first-occurrence order — exactly the
+    reference's ners_dict counter semantics."""
+    toks = F.split(F.col("words"), " ")
+    prons = F.array(*[F.lit(p) for p in PERSON_PRONOUNS])
+    distinct_prons = F.array_distinct(F.filter(toks, lambda w: F.array_contains(prons, w)))
+    abstracted = F.transform(
+        toks,
+        lambda w: F.when(
+            F.array_contains(prons, w),
+            F.concat(F.lit("__PERSON__"),
+                     (F.array_position(distinct_prons, w) - 1).cast("string")),
+        ).otherwise(w),
+    )
+    return nodes.select(
+        "eid", "pattern", "frequency",
+        F.concat_ws(" ", abstracted).alias("concept_words"),
+        F.lit(1.0).alias("score"),
+    )
+
+
+def probase_concepts(nodes: DataFrame, probase: DataFrame, topk: int = 3) -> DataFrame:
+    """Single-noun hypernym substitutions over the seed-abstracted words.
+
+    probase: (instance string, concept string, likelihood double) — small
+    dimension, broadcast.  Output: (eid, pattern, frequency, concept_words,
+    score) — one row per (eventuality, substituted concept)."""
+    seed = seed_rule_concepts(nodes)
+    w = Window.partitionBy("instance").orderBy(F.desc("likelihood"), F.asc("concept"))
+    top = (
+        probase.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("instance", F.regexp_replace("concept", " ", "-").alias("concept"),
+                "likelihood")
+    )
+    toks = F.posexplode(F.split(F.col("concept_words"), " ")).alias("pos", "word")
+    exploded = seed.select("eid", "pattern", "frequency", "concept_words", toks)
+    hits = exploded.join(
+        F.broadcast(top), exploded.word == top.instance, "inner")
+    substituted = hits.select(
+        "eid", "pattern", "frequency",
+        F.concat_ws(" ", F.transform(
+            F.split(F.col("concept_words"), " "),
+            lambda ww: F.when(ww == F.col("word"), F.col("concept")).otherwise(ww),
+        )).alias("concept_words"),
+        F.col("likelihood").alias("score"),
+    )
+    return seed.unionByName(substituted)
+
+
+def aggregate_concepts(concepts: DataFrame):
+    """-> (concept nodes with summed scores, concept-instance pairs).
+
+    cid = sha1(concept_str) (concept.py:28-38); pid = sha1(cid$eid)
+    (concept.py:91-103); cid score = sum(score * frequency)
+    (conceptualize/utils.py:8-34)."""
+    with_cid = concepts.withColumn("cid", F.sha1(F.encode("concept_words", "utf-8")))
+    concept_nodes = (
+        with_cid.groupBy("cid")
+        .agg(F.any_value("concept_words").alias("words"),
+             F.sum(F.col("score") * F.col("frequency")).alias("score"),
+             F.count("*").alias("n_instances"))
+    )
+    pairs = with_cid.select(
+        F.sha1(F.concat_ws("$", "cid", "eid")).alias("pid"),
+        "cid", "eid", "pattern", "score",
+    ).dropDuplicates(["pid"])
+    return concept_nodes, pairs
+
+
+def build_concept_relations(pairs: DataFrame, edges: DataFrame) -> DataFrame:
+    """J5: lift eventuality edges to concept edges with score products
+    (conceptualize/utils.py:37-68): weight(h_cid, sense, t_cid) =
+    sum over instance pairs of w * s_h * s_t, excluding self-loops."""
+    h = pairs.select(F.col("cid").alias("h_cid"), F.col("eid").alias("hid"),
+                     F.col("score").alias("h_score"))
+    t = pairs.select(F.col("cid").alias("t_cid"), F.col("eid").alias("tid"),
+                     F.col("score").alias("t_score"))
+    return (
+        edges.join(h, "hid").join(t, "tid")
+        .filter(F.col("h_cid") != F.col("t_cid"))
+        .groupBy("h_cid", "t_cid", "sense")
+        .agg(F.sum(F.col("weight") * F.col("h_score") * F.col("t_score")).alias("weight"))
+        .withColumn("rid", F.sha1(F.concat_ws("$", "h_cid", "t_cid")))
+        .select("rid", "h_cid", "t_cid", "sense", "weight")
+    )
+
+
+def toy_probase(spark) -> DataFrame:
+    """Deterministic hypernym table over the generator vocabulary — the
+    stand-in for the real Probase dump (external data is out of scope);
+    schema-compatible so a real dump drops in unchanged."""
+    rows = []
+    taxonomy = {
+        "animal": ["dog", "cat", "bird", "horse"],
+        "person": ["teacher", "doctor", "farmer", "manager", "lawyer",
+                   "engineer", "child", "friend", "neighbor", "user"],
+        "vehicle": ["car", "boat", "bus", "train", "bike"],
+        "building": ["house", "school", "office", "hospital", "station", "store"],
+        "document": ["report", "letter", "book", "file", "message", "ticket"],
+        "artifact": ["key", "phone", "computer", "guitar", "piano", "picture"],
+        "food": ["coffee", "cake", "bread", "soup", "dinner"],
+        "issue": ["problem", "bug", "mistake", "question"],
+        "event": ["meeting", "test", "game", "party"],
+        "group": ["team", "army", "family"],
+    }
+    for concept, instances in taxonomy.items():
+        for i, inst in enumerate(instances):
+            rows.append((inst, concept, round(0.9 - 0.05 * i, 4)))
+            rows.append((inst, "entity", 0.2))
+    return spark.createDataFrame(rows, "instance string, concept string, likelihood double")

@@ -84,9 +84,18 @@ def _conversation_stream(batches, columns):
 
 
 def _group_by_conv(df, num_partitions=None):
+    """Hash-repartition by conv_id with an EXPLICIT partition count.
+
+    Critical at scale: without it, AQE coalesces this exchange by byte size
+    (a few MB of text -> 1-2 partitions) and the downstream Python UDF stage
+    — which is CPU-bound, not byte-bound — serializes onto a couple of
+    cores.  Explicit numPartitions pins the exchange; we size it to cores
+    (×3 for stragglers), never below the session shuffle default."""
+    if num_partitions is None:
+        sc = df.sparkSession.sparkContext
+        num_partitions = max(sc.defaultParallelism * 3, 24)
     cols = ["conv_id", "turn_idx"] + (["sent_idx"] if "sent_idx" in df.columns else [])
-    out = df.repartition(*( [num_partitions] if num_partitions else [] ), "conv_id")
-    return out.sortWithinPartitions(*cols)
+    return df.repartition(num_partitions, "conv_id").sortWithinPartitions(*cols)
 
 
 def extract_relations(parsed, num_partitions=None):

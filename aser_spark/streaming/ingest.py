@@ -1,0 +1,67 @@
+"""Structured Streaming ingest: incremental transcript -> KG extraction.
+
+The reference is batch-only (multiprocessing over files,
+/root/reference/aser/pipe/__init__.py:150-171) with a ZMQ serving layer;
+it has no streaming semantics to replicate.  This module adds the natural
+Spark-native extension the north rule's production story needs: transcripts
+landing continuously are extracted incrementally into the SAME instance
+staging layout the batch checkpointer uses, so the graph aggregation
+(nodes/edges) can be refreshed from the union of batch + streamed instances
+at any time.
+
+* ``stream_extract_transcripts`` — file-source stream -> foreachBatch ->
+  fused extraction -> append parquet, with Spark's own streaming checkpoint
+  giving exactly-once per micro-batch.
+* ``streaming_turn_rates`` — watermarked tumbling-window aggregation
+  (event-time ts, late data tolerated up to the watermark) as the
+  monitoring-metric example of stateful streaming ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..datagen.transcripts import TRANSCRIPT_SCHEMA
+from ..pipeline.extract import extract_graph_instances
+
+
+def stream_extract_transcripts(spark, input_path: str, workdir: str,
+                               available_now: bool = True):
+    """Start (and with available_now=True, run to completion) a streaming
+    query that extracts graph instances from transcript parquet files as
+    they land under ``input_path``."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        inst = extract_graph_instances(batch_df.select("conv_id", "turn_idx", "text"))
+        (inst.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(f"{workdir}/instances_stream"))
+
+    writer = (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", f"{workdir}/_stream_checkpoint")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_turn_rates(spark, input_path: str, watermark: str = "10 minutes",
+                         window: str = "5 minutes"):
+    """Watermarked windowed counts of turns per role — returns the streaming
+    DataFrame (caller attaches a sink); late rows beyond the watermark are
+    dropped, state is bounded."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(F.col("w.start").alias("window_start"), "role", "n_turns")
+    )

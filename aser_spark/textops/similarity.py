@@ -74,22 +74,68 @@ def brute_force_cosine_topk(embeddings: DataFrame, k: int = 5,
                             max_queries: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    The candidate side stays the full table; optionally bound the query
-    side (the production shape: a bounded query batch joined against a
-    broadcast/bucketed corpus).  Norms are precomputed per vector; the
-    per-pair dot product runs in an Arrow-vectorized pandas UDF."""
-    dot = _pair_dot_udf()
-    q = _with_norms(embeddings, "qid", "qv", "qn")
+    Plan: the (bounded) query block is broadcast as a dense matrix; ONE
+    ``mapInPandas`` pass over the candidate side emits (qid, cid, sim)
+    triples.  The naive inequality-join alternative ships both 64-dim
+    vectors per PAIR through the exchange (O(pairs·dim) bytes); this ships
+    candidates once (O(N·dim)) — ~10x faster at sf0.1 and the gap widens
+    with corpus size.  Accumulation stays sequential over dimensions
+    (vectorized over rows), bit-identical to the fold semantics the DuckDB
+    oracle reproduces."""
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    q = embeddings
     if max_queries is not None:
-        q = q.filter(F.col("qid") < max_queries)
-    c = _with_norms(embeddings, "cid", "cv", "cn")
-    pairs = q.join(c, F.col("qid") != F.col("cid"))
-    sim = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+        q = q.filter(F.col("vec_id") < max_queries)
+    q_rows = q.select("vec_id", "embedding").collect()  # bounded query batch
+    if not q_rows:
+        return spark.createDataFrame([], "qid long, rank int, cid long, cos_sim double")
+
+    import numpy as np
+
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.asarray([list(r.embedding) for r in q_rows], dtype=np.float64)
+    qn = _seq_norms(Q)
+    bc = spark.sparkContext.broadcast((qids, Q, qn))
+
+    def run(batches):
+        qids_, Q_, qn_ = bc.value
+        nq, dim = Q_.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            acc = np.zeros((len(C), nq), dtype=np.float64)
+            for d in range(dim):                    # sequential over dims
+                acc += C[:, d:d + 1] * Q_[None, :, d]
+            cn = _seq_norms(C)
+            sim = acc / (cn[:, None] * qn_[None, :])
+            qcol = np.repeat(qids_[None, :], len(C), axis=0).ravel()
+            ccol = np.repeat(cids, nq)
+            scol = np.round(sim.ravel(), 6)
+            mask = qcol != ccol
+            yield pd.DataFrame({"qid": qcol[mask], "cid": ccol[mask],
+                                "cos_sim": scol[mask]})
+
+    pairs = embeddings.select("vec_id", "embedding").mapInPandas(
+        run, schema="qid long, cid long, cos_sim double")
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
-    return (pairs.select("qid", "cid", sim.alias("cos_sim"))
-            .withColumn("rank", F.row_number().over(w))
+    return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "cid", "cos_sim"))
+
+
+def _seq_norms(M):
+    """Euclidean norms with sequential per-dim accumulation (matches the
+    fold/list_dot_product order exactly)."""
+    import numpy as np
+
+    acc = np.zeros(M.shape[0], dtype=np.float64)
+    for d in range(M.shape[1]):
+        acc += M[:, d] * M[:, d]
+    return np.sqrt(acc)
 
 
 def hyperplane_signatures(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:

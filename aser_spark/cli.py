@@ -1,0 +1,63 @@
+"""Command-line pipeline driver — the `aser-pipe` equivalent
+(/root/reference/setup.py:52-54, aser/pipe/cli.py).
+
+    python -m aser_spark.cli build-kg --input <transcripts parquet> \
+        --workdir /data/kg --n-parts 256
+    python -m aser_spark.cli gen --n-convs 10000 --out /data/transcripts
+    python -m aser_spark.cli stats --workdir /data/kg
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="aser-spark")
+    p.add_argument("--cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-kg", help="transcripts -> checkpointed KG tables")
+    b.add_argument("--input", required=True, help="transcripts parquet path")
+    b.add_argument("--workdir", required=True)
+    b.add_argument("--n-parts", type=int, default=64)
+    b.add_argument("--no-core", action="store_true")
+
+    g = sub.add_parser("gen", help="generate a deterministic transcript corpus")
+    g.add_argument("--n-convs", type=int, required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--out", required=True)
+
+    s = sub.add_parser("stats", help="KG table statistics")
+    s.add_argument("--workdir", required=True)
+
+    args = p.parse_args(argv)
+
+    from .config import get_spark
+
+    spark = get_spark(app=f"aser-cli-{args.cmd}", cpus=args.cpus)
+    try:
+        if args.cmd == "build-kg":
+            from .pipeline.runner import build_kg
+
+            transcripts = spark.read.parquet(args.input)
+            out = build_kg(spark, transcripts, workdir=args.workdir,
+                           core=not args.no_core, n_parts=args.n_parts)
+            print(json.dumps(out.get("metrics", {})))
+        elif args.cmd == "gen":
+            from .datagen import transcripts_df
+
+            transcripts_df(spark, args.n_convs, seed=args.seed) \
+                .write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"written": args.out, "n_convs": args.n_convs}))
+        elif args.cmd == "stats":
+            from .store import KGStore
+
+            print(json.dumps(KGStore(spark, args.workdir).stats()))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -110,11 +110,14 @@ def _group_by_conv(df, num_partitions=None):
     Critical at scale: without it, AQE coalesces this exchange by byte size
     (a few MB of text -> 1-2 partitions) and the downstream Python UDF stage
     — which is CPU-bound, not byte-bound — serializes onto a couple of
-    cores.  Explicit numPartitions pins the exchange; we size it to cores
-    (×3 for stragglers), never below the session shuffle default."""
+    cores.  Explicit numPartitions pins the exchange.  Default = cores:
+    each Arrow-UDF task costs ~40ms in worker handshake alone, so
+    oversplitting a CPU-bound stage (the classic 2-3x rule for JVM stages)
+    measurably hurts; conversations hash uniformly, so straggler risk at 1x
+    is minimal.  Raise it for skewed real corpora."""
     if num_partitions is None:
         sc = df.sparkSession.sparkContext
-        num_partitions = max(sc.defaultParallelism * 3, 24)
+        num_partitions = max(sc.defaultParallelism, 8)
     cols = ["conv_id", "turn_idx"] + (["sent_idx"] if "sent_idx" in df.columns else [])
     return df.repartition(num_partitions, "conv_id").sortWithinPartitions(*cols)
 

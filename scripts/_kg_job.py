@@ -28,10 +28,12 @@ def main():
     inst = extract_graph_instances(transcripts).persist()
     nodes, edges, lineage = build_knowledge_graph(inst)
     core_nodes, core_edges = build_core_kg(nodes, edges)
-    n_nodes = nodes.count()
-    n_edges = edges.count()
-    n_core = core_edges.count()
-    n_lineage = lineage.count()
+    # the four independent aggregations run as CONCURRENT jobs (local mode
+    # shares one scheduler): wall = max, not sum, of their fixed costs
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(4) as ex:
+        f = [ex.submit(df.count) for df in (nodes, edges, core_edges, lineage)]
+        n_nodes, n_edges, n_core, n_lineage = [x.result() for x in f]
     kg_sec = time.time() - t0
 
     print(json.dumps({

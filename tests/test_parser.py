@@ -1,0 +1,66 @@
+"""Deterministic parser invariants (no Spark)."""
+
+import pytest
+
+from aser_spark.nlp import parse_sentence, parse_text, split_sentences, tokenize
+
+
+def test_tokenize_peels_punctuation():
+    assert tokenize("the dog barked.") == ["the", "dog", "barked", "."]
+    assert tokenize("if it rains, we stay.") == ["if", "it", "rains", ",", "we", "stay", "."]
+
+
+def test_split_sentences():
+    assert split_sentences("a b. c d! e?") == ["a b.", "c d!", "e?"]
+    assert split_sentences("") == []
+
+
+@pytest.mark.parametrize("text", [
+    "the dog barked loudly.",
+    "my army will find your boat.",
+    "i am not hungry because the test passed.",
+    "there was a problem. so we fixed the bug.",
+    "he was given the key by the manager.",
+])
+def test_parallel_arrays_and_sorted_deps(text):
+    for p in parse_text(text):
+        n = len(p["tokens"])
+        assert len(p["lemmas"]) == n == len(p["pos_tags"]) == len(p["ners"])
+        deps = p["dependencies"]
+        assert deps == sorted(set(deps), key=lambda e: (e[0], e[2]))
+        for g, lab, d in deps:
+            assert 0 <= g < n and 0 <= d < n and g != d
+
+
+def test_copular_structure():
+    p = parse_sentence("i am hungry.")
+    assert (2, "cop", 1) in p["dependencies"]
+    assert (2, "nsubj", 0) in p["dependencies"]
+
+
+def test_passive_structure():
+    p = parse_sentence("the order was shipped.")
+    d = p["dependencies"]
+    assert (3, "nsubjpass", 1) in d and (3, "auxpass", 2) in d
+    assert p["pos_tags"][3] == "VBN"
+
+
+def test_subordinate_clause_advcl():
+    p = parse_sentence("the dog barked because he was hungry.")
+    labs = {lab for _, lab, _ in p["dependencies"]}
+    assert "advcl:because" in labs and "mark" in labs
+
+
+def test_vp_coordination_propagates_subject():
+    p = parse_sentence("he cooked and cleaned.")
+    d = p["dependencies"]
+    assert (1, "nsubj", 0) in d          # cooked <- he
+    assert (3, "nsubj", 0) in d          # cleaned <- he (enhanced-style)
+    assert any(lab == "conj:and" for _, lab, _ in d)
+
+
+def test_oov_fallback_is_deterministic():
+    a = parse_sentence("the quorble snarfed zibbily.")
+    b = parse_sentence("the quorble snarfed zibbily.")
+    assert a == b
+    assert a["pos_tags"][3] == "RB"      # -ly fallback

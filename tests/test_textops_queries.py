@@ -1,0 +1,120 @@
+"""Tests for textops (dedup/quality/similarity) and the KGStore/queries
+serving surface, on small crafted data."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),     # exact dup
+        (2, "the quick brown fox jumped over the lazy dog", "en"),    # near dup
+        (3, "der schnelle braune fuchs und der hund ist nicht da", "de"),
+        (4, "completely different text about spark and graphs 123", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    from aser_spark.textops import exact_duplicates
+
+    got = exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0].n_dups == 2 and got[0].canonical_doc_id == 0
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    from aser_spark.textops import ngram_jaccard_pairs
+
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5, length_band=64).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_candidates(spark, docs):
+    from aser_spark.textops import lsh_candidate_pairs, minhash_signatures
+
+    sig = minhash_signatures(docs, n=4, num_perm=16)
+    assert sig.groupBy("doc_id").count().filter("count != 16").count() == 0
+    cands = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sig, bands=4).collect()}
+    assert (0, 1) in cands               # identical docs always collide
+    assert (0, 4) not in cands
+
+
+def test_simhash_near_dup_distance(spark, docs):
+    from aser_spark.textops import simhash
+
+    h = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+    assert h[0] == h[1]
+    ham_near = bin(h[0] ^ h[2]).count("1")
+    ham_far = bin(h[0] ^ h[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_language_id(spark, docs):
+    from aser_spark.textops import language_id
+
+    got = {r.doc_id: r.pred_lang for r in language_id(docs).collect()}
+    assert got[0] == "en" and got[3] == "de"
+
+
+def test_cosine_topk_exact(spark):
+    from aser_spark.textops import brute_force_cosine_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = brute_force_cosine_topk(e, k=1).collect()
+    best = {r.qid: (r.cid, r.cos_sim) for r in got}
+    assert best[0][0] == 1
+    assert math.isclose(best[0][1], 1 / math.sqrt(1.01), rel_tol=1e-5)
+    assert best[2][0] == 1               # (0,1) is the only non-orthogonal
+
+
+def test_lsh_ann_agrees_with_brute_force_in_bucket(spark):
+    from aser_spark.textops import lsh_ann_topk
+
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = lsh_ann_topk(e, k=3, n_planes=4)
+    assert got.filter("qid = cid").count() == 0
+    assert got.groupBy("qid").count().agg(F.max("count")).collect()[0][0] <= 3
+
+
+def test_kgstore_roundtrip(spark, tmp_path):
+    from aser_spark.datagen import transcripts_df
+    from aser_spark.pipeline import build_knowledge_graph, extract_graph_instances
+    from aser_spark.pipeline.graph import write_graph_tables
+    from aser_spark.store import KGStore
+
+    inst = extract_graph_instances(transcripts_df(spark, 30, seed=42))
+    nodes, edges, lineage = build_knowledge_graph(inst)
+    wd = str(tmp_path / "kg")
+    write_graph_tables(nodes, edges, lineage, wd, n_buckets=8)
+
+    store = KGStore(spark, wd)
+    st = store.stats()
+    assert st["n_nodes"] == nodes.count() and st["n_edges"] == edges.count()
+
+    hot = store.nodes.orderBy(F.desc("frequency"), "eid").limit(1).collect()[0]
+    m = store.exact_match_eventuality(hot.words.split(" ")).collect()
+    assert len(m) == 1 and m[0].eid == hot.eid
+
+    pm = store.partial_match(hot.words.split(" "), k=5).collect()
+    assert pm and pm[0].similarity == 1.0
+
+    rel = store.fetch_related_eventualities(hot.eid)
+    assert rel.count() >= 0
+    sids = store.sentences_of(hot.eid).collect()
+    assert len(sids) >= 1
+
+    merged_nodes, merged_edges = store.merge_from(store)
+    got = merged_nodes.filter(F.col("eid") == hot.eid).collect()[0]
+    assert got.frequency == 2 * hot.frequency

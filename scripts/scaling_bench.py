@@ -45,7 +45,9 @@ def run_once(cpus: int, n_convs: int, pyfiles: str) -> dict:
          "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
          "--conf", f"spark.sql.shuffle.partitions={max(cpus * 2, 16)}",
          "--conf", "spark.ui.enabled=false",
-         "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+         # generous heap: at 16+ task threads the Arrow/UDF allocation rate
+         # makes an 8g heap GC-bound and silently destroys scaling
+         "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
          str(JOB), str(n_convs), str(cpus)],
         capture_output=True, text=True, timeout=3600,
     )

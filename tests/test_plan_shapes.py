@@ -1,0 +1,73 @@
+"""Physical-plan regression guards: the optimizations that matter at 100 TB
+must stay visible in the executed plan (pushdown, pruning, broadcast,
+explicit UDF-stage partitioning)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode="formatted"):
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = (li.filter(F.col("l_shipdate") <= "1995-01-01")
+         .groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q")))
+    p = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_shipdate", "l_returnflag", "l_quantity"}
+
+
+def test_small_dims_broadcast_not_sortmerge(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    q = (o.join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .groupBy("n_name").count())
+    p = _plan(q, "simple")
+    assert "BroadcastHashJoin" in p
+
+
+def test_semi_join_stays_semi(spark):
+    from aser_spark.pipeline.graph import build_core_kg
+
+    nodes = spark.createDataFrame(
+        [("a", "p", "w", "t", "s", "v", 3.0)],
+        "eid string, pattern string, words string, pos_tags string, "
+        "skeleton_words string, verbs string, frequency double")
+    edges = spark.createDataFrame(
+        [("r", "a", "a", "Reason", 1.0)],
+        "rid string, hid string, tid string, sense string, weight double")
+    _, core = build_core_kg(nodes, edges)
+    assert _plan(core, "simple").count("LeftSemi") == 2
+
+
+def test_extraction_exchange_has_explicit_partition_count(spark):
+    from aser_spark.datagen import transcripts_df
+    from aser_spark.pipeline.extract import extract_graph_instances
+
+    df = extract_graph_instances(transcripts_df(spark, 5, seed=42))
+    p = _plan(df, "simple")
+    # REPARTITION_BY_NUM marks a user-pinned exchange AQE will not coalesce
+    assert "REPARTITION_BY_NUM" in p
+    assert "MapInPandas" in p
+
+
+def test_salted_agg_is_two_phase(spark):
+    from aser_spark.pipeline.aggregate import salted_sum
+
+    df = spark.createDataFrame([("k", "c1", 1.0)], "k string, c string, v double")
+    p = _plan(salted_sum(df, ["k"], "v", "c"), "simple")
+    # two logical aggregations (salted partial + final), each with its own
+    # partial/final physical pair -> at least 3 HashAggregate operators
+    assert p.count("HashAggregate") >= 3

@@ -156,7 +156,7 @@ def extract_relations(parsed, num_partitions=None):
     )
 
 
-def extract_graph_instances(transcripts, num_partitions=None):
+def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False):
     """Fused flagship pass: transcripts -> unified node+edge instance rows.
 
     One shuffle (repartition by conv_id), one parse per turn, kernel
@@ -164,6 +164,13 @@ def extract_graph_instances(transcripts, num_partitions=None):
     the Spark analog of the reference worker loop
     (/root/reference/aser/extract/utils.py:538-620) with the partial-dict
     merge replaced by downstream hash aggregation.
+
+    ``pre_grouped=True`` skips the exchange entirely for input whose
+    partitions already hold each conversation contiguously in turn order —
+    the layout an Iceberg table written ``bucket(conv_id), sorted by
+    (conv_id, turn_idx)`` gives every scan for free (and what the built-in
+    generator emits).  The whole pipeline is then shuffle-free up to the
+    final aggregations.
     """
     import pandas as pd
 
@@ -205,6 +212,6 @@ def extract_graph_instances(transcripts, num_partitions=None):
                 out = []
         yield _frame(out, _INST_COLS)
 
-    grouped = _group_by_conv(transcripts.select("conv_id", "turn_idx", "text"),
-                             num_partitions)
+    narrow = transcripts.select("conv_id", "turn_idx", "text")
+    grouped = narrow if pre_grouped else _group_by_conv(narrow, num_partitions)
     return grouped.mapInPandas(run, schema=INSTANCE_SCHEMA)

@@ -25,7 +25,9 @@ def main():
     n_turns = transcripts.count()
 
     t0 = time.time()
-    inst = extract_graph_instances(transcripts).persist()
+    # the generator (like a bucket-sorted Iceberg scan) delivers each
+    # conversation contiguously in turn order -> shuffle-free extraction
+    inst = extract_graph_instances(transcripts, pre_grouped=True).persist()
     nodes, edges, lineage = build_knowledge_graph(inst)
     core_nodes, core_edges = build_core_kg(nodes, edges)
     # materialize with the MINIMUM number of jobs: one multi-aggregate pass

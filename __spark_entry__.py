@@ -339,6 +339,14 @@ def _q_kg_lineage(spark, sf_dir):
     return _kg(spark)["lineage"].select("eid", "n_mentions")
 
 
+def _q_embedding_near_dups(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.textops import embedding_near_duplicates
+
+    return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"),
+                                     threshold=0.2, n_planes=6)
+
+
 def _q_kg_concepts(spark, sf_dir):
     _ship_package(spark)
     from aser_spark.pipeline.concepts import (aggregate_concepts,
@@ -409,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _q_simhash_documents,
         "cosine_topk": _q_cosine_topk,
         "lsh_signatures": _q_lsh_signatures,
+        "embedding_near_dups": _q_embedding_near_dups,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_core_edges": _q_kg_core_edges,
@@ -633,6 +642,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM pairs)
             SELECT qid, CAST(rank AS INT) AS rank, cid, cos_sim
             FROM r WHERE rank <= 3
+        """,
+        "embedding_near_dups": """
+            WITH planes AS (SELECT vec_id AS plane_id, embedding AS pv
+                            FROM embeddings WHERE vec_id < 6),
+            bits AS (
+              SELECT e.vec_id, p.plane_id,
+                     CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) >= 0
+                          THEN '1' ELSE '0' END AS bit
+              FROM embeddings e, planes p),
+            sigs AS (SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS sig
+                     FROM bits GROUP BY vec_id),
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     ROUND(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) /
+                           (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) *
+                            sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 6) AS cos_sim
+              FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id)
+            SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.2
         """,
         "lsh_signatures": """
             WITH planes AS (SELECT vec_id AS plane_id, embedding AS pv

@@ -13,4 +13,5 @@ from .dedup import (exact_duplicates, minhash_signatures, lsh_candidate_pairs,
                     ngram_jaccard_pairs, simhash)
 from .quality import (document_fingerprint, language_id, quality_scores,
                       token_stats)
-from .similarity import brute_force_cosine_topk, hyperplane_signatures, lsh_ann_topk
+from .similarity import (brute_force_cosine_topk, embedding_near_duplicates,
+                         hyperplane_signatures, lsh_ann_topk)

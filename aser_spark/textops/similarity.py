@@ -127,6 +127,29 @@ def brute_force_cosine_topk(embeddings: DataFrame, k: int = 5,
             .select("qid", "rank", "cid", "cos_sim"))
 
 
+def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
+                              n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the fifth dedup strategy):
+    LSH signature buckets bound the candidate set, exact cosine rerank
+    inside buckets, keep pairs with cos >= threshold.
+
+    With random-hyperplane LSH the collision probability is
+    (1 - theta/pi)^n_planes, so true near-dups (theta ~ 0) almost always
+    share a bucket while the cross-corpus quadratic pair space never
+    materializes."""
+    dot = _pair_dot_udf()
+    sig = hyperplane_signatures(embeddings, n_planes)
+    e = embeddings.join(sig, "vec_id")
+    a = _with_norms(e, "vec_a", "va", "na").join(
+        e.select(F.col("vec_id").alias("vec_a"), "sig"), "vec_a")
+    b = _with_norms(e, "vec_b", "vb", "nb").join(
+        e.select(F.col("vec_id").alias("vec_b"), F.col("sig").alias("bsig")), "vec_b")
+    pairs = a.join(b, (F.col("sig") == F.col("bsig")) & (F.col("vec_a") < F.col("vec_b")))
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (pairs.select("vec_a", "vec_b", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
 def _seq_norms(M):
     """Euclidean norms with sequential per-dim accumulation (matches the
     fold/list_dot_product order exactly)."""

@@ -1,0 +1,64 @@
+"""Property-based robustness tests (hypothesis): the parser and kernel must
+be total and deterministic over arbitrary text — a 100 TB corpus WILL
+contain garbage, and a single executor exception fails the stage."""
+
+from hypothesis import given, settings, strategies as st
+
+from aser_spark.kernel import (extract_paragraph_relations,
+                               extract_sentence_eventualities)
+from aser_spark.nlp import parse_text
+
+TEXTS = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=400,
+)
+
+
+def _pipeline(text):
+    parsed = parse_text(text)
+    para_evs = []
+    for p in parsed:
+        n = len(p["tokens"])
+        assert len(p["lemmas"]) == n == len(p["pos_tags"])
+        for g, lab, d in p["dependencies"]:
+            assert 0 <= g < n and 0 <= d < n and g != d
+        para_evs.append(extract_sentence_eventualities(
+            p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"]))
+    rels = extract_paragraph_relations(parsed, para_evs)
+    return parsed, para_evs, rels
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTS)
+def test_parser_and_kernel_total_on_arbitrary_text(text):
+    _pipeline(text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXTS)
+def test_extraction_deterministic(text):
+    a = _pipeline(text)
+    b = _pipeline(text)
+    assert [[e["eid"] for e in evs] for evs in a[1]] == \
+           [[e["eid"] for e in evs] for evs in b[1]]
+    assert a[2] == b[2]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["the dog barked.", "i am hungry.", "so we went home.",
+     "he wants to buy a car because the test passed.",
+     "there is a problem, but she fixed the bug."]), min_size=1, max_size=8))
+def test_eventuality_invariants_on_template_text(sents):
+    parsed, para_evs, rels = _pipeline(" ".join(sents))
+    eids = set()
+    for evs in para_evs:
+        positions = [e["position"] for e in evs]
+        assert positions == sorted(positions)          # in-order output
+        for e in evs:
+            assert len(e["words"]) == len(e["pos_tags"])
+            assert len(e["eid"]) == 40
+            assert e["frequency"] == 1.0
+            eids.add(e["eid"])
+    for hid, tid, sense, w in rels:
+        assert hid in eids and tid in eids and w == 1.0

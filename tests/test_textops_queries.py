@@ -118,3 +118,15 @@ def test_kgstore_roundtrip(spark, tmp_path):
     merged_nodes, merged_edges = store.merge_from(store)
     got = merged_nodes.filter(F.col("eid") == hot.eid).collect()[0]
     assert got.frequency == 2 * hot.frequency
+
+
+def test_embedding_near_duplicates(spark):
+    from aser_spark.textops import embedding_near_duplicates
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.001, 0.0]),   # near-dup pair
+            (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.vec_a, r.vec_b): r.cos_sim
+           for r in embedding_near_duplicates(e, threshold=0.95, n_planes=2).collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.999
+    assert all(k == (0, 1) for k in got)

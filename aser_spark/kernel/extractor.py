@@ -37,33 +37,51 @@ from .patterns import BIND, LEFTOVER, PATTERN_PROGRAMS, RBIND, RVETO, CLAUSE_SKI
 __all__ = ["extract_sentence_eventualities", "build_eventuality", "eid_of"]
 
 
-def _run_program(prog, deps, bound):
+def _index_edges(deps):
+    """(by_governor, by_dependent): token index -> [(edge_idx, gov, label,
+    dep), ...] preserving the global (gov, dep) scan order.  Every matcher
+    op is anchored on a bound variable, so filtering candidate edges by that
+    anchor is order-equivalent to the reference's full scan — only ~E/|V|
+    edges are touched per op instead of E."""
+    by_gov: dict = {}
+    by_dep: dict = {}
+    for ei, e in enumerate(deps):
+        rec = (ei, e[0], e[1], e[2])
+        by_gov.setdefault(e[0], []).append(rec)
+        by_dep.setdefault(e[2], []).append(rec)
+    return by_gov, by_dep
+
+
+def _run_program(prog, by_gov, by_dep, bound):
     """Run one pattern program with V1 pre-bound; return (selected_idx_list,
-    skeleton_count) or None.  ``deps`` is a list of (gov, label, dep) tuples
-    already sorted by (gov, dep)."""
+    skeleton_count) or None."""
     selected: list[int] = []
-    n_skeleton = 0
 
     for op in prog.positive:
+        anchor = bound.get(op.anchor)
+        if anchor is None:
+            return None
         hit = False
-        for ei, (g, lab, d) in enumerate(deps):
-            if op.kind == BIND:
-                anchor = bound.get(op.anchor)
-                if anchor is None or g != anchor or lab not in op.labels:
+        if op.kind == BIND:
+            for ei, g, lab, d in by_gov.get(anchor, ()):
+                if lab not in op.labels:
                     continue
                 if op.exact and op.var in bound:
                     continue
                 bound[op.var] = d
-            else:  # RBIND: edge points AT the anchor; bind the governor
-                anchor = bound.get(op.anchor)
-                if anchor is None or d != anchor or lab not in op.labels:
+                selected.append(ei)
+                hit = True
+                break
+        else:  # RBIND: edge points AT the anchor; bind the governor
+            for ei, g, lab, d in by_dep.get(anchor, ()):
+                if lab not in op.labels:
                     continue
                 if op.var in bound:
                     continue
                 bound[op.var] = g
-            selected.append(ei)
-            hit = True
-            break
+                selected.append(ei)
+                hit = True
+                break
         if not hit:
             return None
     n_skeleton = len(selected)
@@ -72,37 +90,29 @@ def _run_program(prog, deps, bound):
         anchor = bound.get(op.anchor)
         if anchor is None:
             continue
-        for ei, (g, lab, d) in enumerate(deps):
-            if g != anchor or lab not in op.labels:
+        for ei, g, lab, d in by_gov.get(anchor, ()):
+            if lab not in op.labels:
                 continue
             if op.exact and op.var in bound:
                 continue
             bound[op.var] = d
             selected.append(ei)
-            # multi-label groups rebind, so later edges anchor on the new
-            # binding only for SUBSEQUENT ops — within this op the anchor
-            # stays fixed (matches the reference's current_dict snapshotting)
-        anchor = bound.get(op.anchor)
+            # within one op the anchor stays fixed (the reference snapshots
+            # current_dict per edge test); rebinding affects later ops only
 
     selected_set = set(selected)
     for op in prog.negative:
         anchor = bound.get(op.anchor)
+        if anchor is None:
+            continue
         if op.kind == LEFTOVER:
-            if anchor is None:
-                continue
-            for ei, (g, lab, d) in enumerate(deps):
-                if ei in selected_set:
-                    continue
-                if g == anchor and lab not in op.labels:
+            for ei, g, lab, d in by_gov.get(anchor, ()):
+                if ei not in selected_set and lab not in op.labels:
                     return None
         else:  # RVETO
-            if anchor is None:
-                continue
             label = next(iter(op.labels))
-            for ei, (g, lab, d) in enumerate(deps):
-                if ei in selected_set:
-                    continue
-                if lab == label and d == anchor:
+            for ei, g, lab, d in by_dep.get(anchor, ()):
+                if ei not in selected_set and lab == label:
                     return None
 
     return selected, n_skeleton
@@ -251,11 +261,12 @@ def extract_sentence_eventualities(tokens, lemmas, pos_tags, dependencies,
 
     deps = [tuple(e) for e in dependencies]
     verb_positions = [i for i, t in enumerate(pos_tags) if t.startswith("VB")]
+    by_gov, by_dep = _index_edges(deps)
     by_pattern: dict[str, list] = {}
     for name, prog in PATTERN_PROGRAMS.items():
         bucket = []
         for vp in verb_positions:
-            res = _run_program(prog, deps, {"V1": vp})
+            res = _run_program(prog, by_gov, by_dep, {"V1": vp})
             if res is None:
                 continue
             sel_idx, n_skel = res

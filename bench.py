@@ -74,6 +74,24 @@ def main():
         lineage.agg(F.count("*")).collect(),
     )
     kg_sec = time.time() - t0
+
+    # downstream KG-enrichment stages (conceptualization + entity linking)
+    from aser_spark.pipeline.concepts import (aggregate_concepts,
+                                              probase_concepts, toy_probase)
+    from aser_spark.pipeline.entities import link_entities, toy_kb
+
+    t0 = time.time()
+    concept_nodes, pairs = aggregate_concepts(
+        probase_concepts(nodes, toy_probase(spark), topk=3))
+    n_concepts = concept_nodes.count()
+    timings["conceptualize"] = round(time.time() - t0, 3)
+    extras["n_concepts"] = n_concepts
+
+    t0 = time.time()
+    n_links = link_entities(nodes, toy_kb(spark)).count()
+    timings["entity_linking"] = round(time.time() - t0, 3)
+    extras["n_entity_links"] = n_links
+
     inst.unpersist()
     transcripts.unpersist()
     timings["kg_build"] = round(kg_sec, 3)

@@ -354,7 +354,7 @@ def _q_kg_concepts(spark, sf_dir):
 
     kg = _kg(spark)
     concept_nodes, _ = aggregate_concepts(
-        probase_concepts(kg["nodes"], toy_probase(spark), topk=3))
+        probase_concepts(kg["nodes"], toy_probase(spark), topk=3, min_frequency=2.0))
     return concept_nodes.select("cid", "words", F.round("score", 4).alias("score"),
                                 "n_instances")
 
@@ -367,7 +367,7 @@ def _q_kg_concept_relations(spark, sf_dir):
 
     kg = _kg(spark)
     _, pairs = aggregate_concepts(
-        probase_concepts(kg["nodes"], toy_probase(spark), topk=3))
+        probase_concepts(kg["nodes"], toy_probase(spark), topk=3, min_frequency=2.0))
     out = build_concept_relations(pairs, kg["edges"])
     return out.select("rid", "h_cid", "t_cid", "sense",
                       F.round("weight", 4).alias("weight"))

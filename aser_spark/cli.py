@@ -34,8 +34,11 @@ def main(argv=None):
 
     args = p.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from .config import get_spark
 
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app=f"aser-cli-{args.cmd}", cpus=args.cpus)
     try:
         if args.cmd == "build-kg":
@@ -56,7 +59,8 @@ def main(argv=None):
 
             print(json.dumps(KGStore(spark, args.workdir).stats()))
     finally:
-        spark.stop()
+        if not preexisting:  # don't tear down a caller-owned session
+            spark.stop()
 
 
 if __name__ == "__main__":

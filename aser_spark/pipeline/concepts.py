@@ -52,12 +52,20 @@ def seed_rule_concepts(nodes: DataFrame) -> DataFrame:
     )
 
 
-def probase_concepts(nodes: DataFrame, probase: DataFrame, topk: int = 3) -> DataFrame:
+def probase_concepts(nodes: DataFrame, probase: DataFrame, topk: int = 3,
+                     min_frequency: float = 0.0) -> DataFrame:
     """Single-noun hypernym substitutions over the seed-abstracted words.
 
     probase: (instance string, concept string, likelihood double) — small
     dimension, broadcast.  Output: (eid, pattern, frequency, concept_words,
-    score) — one row per (eventuality, substituted concept)."""
+    score) — one row per (eventuality, substituted concept).
+
+    ``min_frequency``: the reference conceptualizes only eventualities with
+    frequency >= 5 by default (aser-pipe --concept_min_frequency,
+    /root/reference/aser/utils/config.py:113-116) — pass 5.0 for the
+    faithful pipeline configuration."""
+    if min_frequency > 0:
+        nodes = nodes.filter(F.col("frequency") >= F.lit(min_frequency))
     seed = seed_rule_concepts(nodes)
     w = Window.partitionBy("instance").orderBy(F.desc("likelihood"), F.asc("concept"))
     top = (

@@ -81,14 +81,15 @@ def main():
     from aser_spark.pipeline.entities import link_entities, toy_kb
 
     t0 = time.time()
+    # faithful config: conceptualize freq >= 5 only (aser-pipe default)
     concept_nodes, pairs = aggregate_concepts(
-        probase_concepts(nodes, toy_probase(spark), topk=3))
+        probase_concepts(nodes, toy_probase(spark), topk=3, min_frequency=5.0))
     n_concepts = concept_nodes.count()
     timings["conceptualize"] = round(time.time() - t0, 3)
     extras["n_concepts"] = n_concepts
 
     t0 = time.time()
-    n_links = link_entities(nodes, toy_kb(spark)).count()
+    n_links = link_entities(core_nodes, toy_kb(spark)).count()
     timings["entity_linking"] = round(time.time() - t0, 3)
     extras["n_entity_links"] = n_links
 

@@ -66,6 +66,7 @@ def main():
     # at production scale this is the staged parquet write of checkpoint.py
     inst = extract_graph_instances(transcripts).persist()
     nodes, edges, lineage = build_knowledge_graph(inst)
+    nodes = nodes.persist()  # reused by core filter + enrichment stages
     core_nodes, core_edges = build_core_kg(nodes, edges)
     counts = (
         nodes.agg(F.count("*").alias("n"), F.sum("frequency").alias("f")).collect(),

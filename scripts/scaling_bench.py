@@ -122,7 +122,14 @@ barriers are the conv_id exchange and the final hash aggregations, both of
 which combine map-side.
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    # don't clobber the curated BASELINE.md unless explicitly asked —
+    # individual campaign reports go to a timestamped file
+    import os as _os
+    if _os.environ.get("SCALING_WRITE_BASELINE") == "1":
+        (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    else:
+        import time as _t
+        (REPO / "BENCH" / f"scaling_run_{int(_t.time())}.md").write_text(md)
     print(json.dumps({"low": r_low, "high": r_high,
                       "speedup": round(speedup, 3),
                       "efficiency": round(efficiency, 3)}))

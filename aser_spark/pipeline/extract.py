@@ -29,6 +29,41 @@ _REL_COLS = [f.name for f in RELATION_INSTANCE_SCHEMA.fields]
 _INST_COLS = [f.name for f in INSTANCE_SCHEMA.fields]
 
 
+def _sentence_cache():
+    """Per-worker memo of sentence -> (parsed, eventualities).
+
+    Transcript corpora are Zipf-skewed: a handful of head sentences ("i am
+    hungry.") recur millions of times, and parse+extract is a pure function
+    of the sentence text.  The reference exploits the same idea with its
+    per-paragraph syntax_tree_cache (/root/reference/aser/extract/
+    eventuality_extractor.py:614); here the cache lives for the python
+    worker's lifetime (workers are reused across tasks), so every hot
+    sentence is parsed once per worker instead of once per occurrence.
+
+    Contract: cached parsed dicts / eventuality records are SHARED —
+    downstream code must treat them as frozen (it does: rows are built by
+    reading fields only)."""
+    global _SENT_MEMO
+    if _SENT_MEMO is None:
+        from functools import lru_cache
+
+        from ..kernel import extract_sentence_eventualities
+        from ..nlp import parse_sentence
+
+        @lru_cache(maxsize=8192)
+        def one(sentence: str):
+            p = parse_sentence(sentence)
+            evs = extract_sentence_eventualities(
+                p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"])
+            return p, evs
+
+        _SENT_MEMO = one
+    return _SENT_MEMO
+
+
+_SENT_MEMO = None
+
+
 def _ev_record_to_row(conv_id, turn_idx, sent_idx, e):
     return (
         conv_id, turn_idx, sent_idx, e["eid"], e["pattern"], e["words"],
@@ -177,17 +212,16 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False)
     cols = ["turn_idx", "text"]
 
     def run(batches):
-        from ..kernel import (extract_paragraph_relations,
-                              extract_sentence_eventualities)
-        from ..nlp import parse_text
+        from ..kernel import extract_paragraph_relations
+        from ..nlp import split_sentences
 
+        memo = _sentence_cache()
         out = []
         for conv_id, rows in _conversation_stream(batches, cols):
             sentences, para_evs, keys = [], [], []
             for turn_idx, text in rows:
-                for sent_idx, p in enumerate(parse_text(text)):
-                    evs = extract_sentence_eventualities(
-                        p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"])
+                for sent_idx, sent in enumerate(split_sentences(text)):
+                    p, evs = memo(sent)
                     sentences.append(p)
                     para_evs.append(evs)
                     keys.append((int(turn_idx), sent_idx))

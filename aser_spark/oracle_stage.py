@@ -1,0 +1,126 @@
+"""Pure-Python staging of the KG-pipeline oracle inputs.
+
+The driver's correctness gate runs each Spark query side-by-side with a
+DuckDB oracle SQL string.  The KG family (nodes/edges/core/concepts/
+entities/lineage/...) consumes EXTRACTED instance rows, which SQL cannot
+produce — but every stage downstream of extraction is plain relational
+algebra.  So we stage the instances table (plus the small probase / KB
+dimensions and the deterministic media-feature fixture) to parquet from
+PLAIN PYTHON — driving the exact same per-conversation kernel
+(pipeline/extract.py:conversation_instance_rows) the Spark ``mapInPandas``
+stage runs, itself golden-parity-gated against the reference extractor —
+and the oracle SQL reads them with ``read_parquet``.  The DuckDB gate then
+hash-verifies every aggregation / join / filter / window stage of the
+pipeline against an input the Spark runtime never touched.
+
+Everything here is a pure function of (n_convs, seed): no RNG state, no
+timestamps, no Spark.  Staging is idempotent (marker file) and atomic
+(tmp + rename), so ``oracle_sql()`` can call it unconditionally.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from pathlib import Path
+
+STAGE_DIR = os.environ.get("ASER_ORACLE_STAGE_DIR", "/tmp/aser_spark_oracle")
+# bump when the staged layout or the generator/kernel semantics change
+STAGE_VERSION = 3
+
+_INSTANCE_COLS = [
+    ("kind", "string"), ("conv_id", "string"), ("turn_idx", "int32"),
+    ("sent_idx", "int32"), ("eid", "string"), ("pattern", "string"),
+    ("words", "string"), ("pos_tags", "string"), ("skeleton_words", "string"),
+    ("verbs", "string"), ("position", "float64"), ("frequency", "float64"),
+    ("hid", "string"), ("tid", "string"), ("sense", "string"),
+    ("weight", "float64"),
+]
+
+
+def _write_parquet(path: Path, rows: list, cols: list) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrays, names = [], []
+    for i, (name, typ) in enumerate(cols):
+        names.append(name)
+        vals = [r[i] for r in rows]
+        arrays.append(pa.array(vals, type=getattr(pa, typ)()))
+    tmp = path.with_suffix(".tmp.parquet")
+    pq.write_table(pa.table(dict(zip(names, arrays))), tmp)
+    os.replace(tmp, path)
+
+
+def _instances_rows(n_convs: int, seed: int) -> list:
+    from functools import lru_cache
+
+    from .datagen.transcripts import gen_conversation_rows
+    from .kernel import extract_sentence_eventualities
+    from .nlp import parse_sentence
+    from .pipeline.extract import conversation_instance_rows
+
+    @lru_cache(maxsize=16384)
+    def memo(sentence: str):
+        p = parse_sentence(sentence)
+        evs = extract_sentence_eventualities(
+            p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"])
+        return p, evs
+
+    out = []
+    for ci in range(n_convs):
+        conv = gen_conversation_rows(seed, ci)
+        turns = [(r[1], r[3]) for r in conv]  # (turn_idx, text)
+        out.extend(conversation_instance_rows(conv[0][0], turns, memo))
+    return out
+
+
+def _media_rows(n: int) -> list:
+    """Expected output of textops.multimodal.extract_media_features over
+    synthesize_media(n) — same deterministic payload + digest arithmetic,
+    no Spark."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 4)
+        rows.append((i, kind, hashlib.sha1(payload).hexdigest(), len(payload)))
+    return rows
+
+
+def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
+                           n_media: int = 48, outdir: str = STAGE_DIR) -> dict:
+    """Idempotently materialize the oracle parquet inputs; returns
+    {"instances": path, "probase": path, "kb": path, "media": path}."""
+    base = Path(outdir)
+    base.mkdir(parents=True, exist_ok=True)
+    paths = {k: base / f"{k}.parquet"
+             for k in ("instances", "probase", "kb", "media")}
+    marker = base / "MARKER.json"
+    want = {"version": STAGE_VERSION, "n_convs": n_convs, "seed": seed,
+            "n_media": n_media}
+    if marker.exists() and all(p.exists() for p in paths.values()):
+        try:
+            if json.loads(marker.read_text()) == want:
+                return {k: str(v) for k, v in paths.items()}
+        except (ValueError, OSError):
+            pass
+
+    from .pipeline.concepts import probase_rows
+    from .pipeline.entities import kb_rows
+
+    _write_parquet(paths["instances"], _instances_rows(n_convs, seed),
+                   _INSTANCE_COLS)
+    _write_parquet(paths["probase"], probase_rows(),
+                   [("instance", "string"), ("concept", "string"),
+                    ("likelihood", "float64")])
+    _write_parquet(paths["kb"], kb_rows(),
+                   [("alias", "string"), ("entity_id", "string"),
+                    ("prior", "float64")])
+    _write_parquet(paths["media"], _media_rows(n_media),
+                   [("media_id", "int64"), ("kind", "string"),
+                    ("payload_sha1", "string"), ("n_bytes", "int32")])
+    tmp_marker = marker.with_suffix(".tmp")
+    tmp_marker.write_text(json.dumps(want))
+    os.replace(tmp_marker, marker)
+    return {k: str(v) for k, v in paths.items()}

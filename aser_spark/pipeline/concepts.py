@@ -102,10 +102,15 @@ def aggregate_concepts(concepts: DataFrame):
              F.sum(F.col("score") * F.col("frequency")).alias("score"),
              F.count("*").alias("n_instances"))
     )
-    pairs = with_cid.select(
-        F.sha1(F.concat_ws("$", "cid", "eid")).alias("pid"),
-        "cid", "eid", "pattern", "score",
-    ).dropDuplicates(["pid"])
+    # one pair per (cid, eid) with DETERMINISTIC score = max over duplicate
+    # derivations (dropDuplicates would keep an arbitrary row when the same
+    # concept string arises from different substitutions)
+    pairs = (
+        with_cid.groupBy("cid", "eid")
+        .agg(F.any_value("pattern").alias("pattern"), F.max("score").alias("score"))
+        .withColumn("pid", F.sha1(F.concat_ws("$", "cid", "eid")))
+        .select("pid", "cid", "eid", "pattern", "score")
+    )
     return concept_nodes, pairs
 
 
@@ -127,10 +132,10 @@ def build_concept_relations(pairs: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def toy_probase(spark) -> DataFrame:
-    """Deterministic hypernym table over the generator vocabulary — the
-    stand-in for the real Probase dump (external data is out of scope);
-    schema-compatible so a real dump drops in unchanged."""
+def probase_rows() -> list:
+    """Pure-Python rows of the deterministic hypernym table — shared by the
+    Spark DataFrame (`toy_probase`) and the oracle stager so DuckDB sees the
+    identical dimension."""
     rows = []
     taxonomy = {
         "animal": ["dog", "cat", "bird", "horse"],
@@ -149,4 +154,12 @@ def toy_probase(spark) -> DataFrame:
         for i, inst in enumerate(instances):
             rows.append((inst, concept, round(0.9 - 0.05 * i, 4)))
             rows.append((inst, "entity", 0.2))
-    return spark.createDataFrame(rows, "instance string, concept string, likelihood double")
+    return rows
+
+
+def toy_probase(spark) -> DataFrame:
+    """Deterministic hypernym table over the generator vocabulary — the
+    stand-in for the real Probase dump (external data is out of scope);
+    schema-compatible so a real dump drops in unchanged."""
+    return spark.createDataFrame(
+        probase_rows(), "instance string, concept string, likelihood double")

@@ -17,7 +17,7 @@ re-expression for the north-rule's "entity linking" stage:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def mention_candidates(nodes: DataFrame) -> DataFrame:
@@ -45,11 +45,16 @@ def link_entities(nodes: DataFrame, kb_aliases: DataFrame) -> DataFrame:
         F.broadcast(kb_aliases.withColumn("_alias", F.lower(F.col("alias")))),
         "_alias", "inner",
     )
-    w = Window.partitionBy("eid", "mention").orderBy(F.desc("prior"), F.asc("entity_id"))
+    # disambiguation = argmax(prior) with min-entity_id tie-break, encoded as
+    # ONE hash aggregation min(struct(-prior, entity_id)).  Unlike the
+    # row_number window this combines map-side (no sort, no single-partition
+    # funnel for hot mentions) — the 100 TB-safe shape.
+    best = F.min(F.struct((-F.col("prior")).alias("np"),
+                          F.col("entity_id").alias("entity_id"))).alias("best")
     return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
-        .select("eid", "mention", "entity_id", F.round("prior", 6).alias("prior"))
+        joined.groupBy("eid", "mention").agg(best)
+        .select("eid", "mention", F.col("best.entity_id").alias("entity_id"),
+                F.round(-F.col("best.np"), 6).alias("prior"))
     )
 
 
@@ -65,9 +70,9 @@ def entity_cooccurrence_edges(links: DataFrame) -> DataFrame:
     )
 
 
-def toy_kb(spark) -> DataFrame:
-    """Deterministic alias KB over the generator vocabulary (stand-in for a
-    Wikipedia/Wikidata alias dump)."""
+def kb_rows() -> list:
+    """Pure-Python rows of the deterministic alias KB — shared by the Spark
+    DataFrame (`toy_kb`) and the oracle stager."""
     base = [
         "dog cat bird horse army boat order problem report car house coffee "
         "meeting server file test bug user answer plan team teacher engineer "
@@ -80,4 +85,11 @@ def toy_kb(spark) -> DataFrame:
         rows.append((w, eid, 0.9))
         rows.append((w + "s", eid, 0.6))          # crude plural alias
         rows.append((w.capitalize(), eid, 0.85))
-    return spark.createDataFrame(rows, "alias string, entity_id string, prior double")
+    return rows
+
+
+def toy_kb(spark) -> DataFrame:
+    """Deterministic alias KB over the generator vocabulary (stand-in for a
+    Wikipedia/Wikidata alias dump)."""
+    return spark.createDataFrame(
+        kb_rows(), "alias string, entity_id string, prior double")

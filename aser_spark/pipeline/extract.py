@@ -191,6 +191,49 @@ def extract_relations(parsed, num_partitions=None):
     )
 
 
+def conversation_instance_rows(conv_id, turns, memo=None):
+    """Pure per-conversation kernel: ``turns`` = (turn_idx, text) pairs in
+    turn order -> INSTANCE_SCHEMA tuples (node + edge rows).
+
+    This is the single source of truth for the fused extraction semantics:
+    the Spark ``mapInPandas`` stage below streams conversations through it,
+    and the oracle stager (aser_spark/oracle_stage.py) drives the SAME
+    function from plain Python to materialize the DuckDB-verifiable
+    instances table — so the driver's oracle checks every downstream
+    aggregation against an input produced by identical kernel code (which
+    is itself golden-parity-gated vs the reference extractor)."""
+    from ..kernel import extract_paragraph_relations
+    from ..nlp import split_sentences
+
+    if memo is None:
+        memo = _sentence_cache()
+    out = []
+    sentences, para_evs, keys = [], [], []
+    for turn_idx, text in turns:
+        for sent_idx, sent in enumerate(split_sentences(text)):
+            p, evs = memo(sent)
+            sentences.append(p)
+            para_evs.append(evs)
+            keys.append((int(turn_idx), sent_idx))
+    for (turn_idx, sent_idx), evs in zip(keys, para_evs):
+        for e in evs:
+            w = e["words"]
+            out.append((
+                "node", conv_id, turn_idx, sent_idx, e["eid"],
+                e["pattern"], " ".join(w), " ".join(e["pos_tags"]),
+                " ".join(w[i] for i in e["skeleton_word_indices"]),
+                " ".join(w[i] for i in e["verb_indices"]),
+                e["position"], e["frequency"],
+                None, None, None, None,
+            ))
+    for hid, tid, sense, wt in extract_paragraph_relations(sentences, para_evs):
+        out.append((
+            "edge", conv_id, None, None, None, None, None, None,
+            None, None, None, None, hid, tid, sense, wt,
+        ))
+    return out
+
+
 def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False):
     """Fused flagship pass: transcripts -> unified node+edge instance rows.
 
@@ -212,35 +255,10 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False)
     cols = ["turn_idx", "text"]
 
     def run(batches):
-        from ..kernel import extract_paragraph_relations
-        from ..nlp import split_sentences
-
         memo = _sentence_cache()
         out = []
         for conv_id, rows in _conversation_stream(batches, cols):
-            sentences, para_evs, keys = [], [], []
-            for turn_idx, text in rows:
-                for sent_idx, sent in enumerate(split_sentences(text)):
-                    p, evs = memo(sent)
-                    sentences.append(p)
-                    para_evs.append(evs)
-                    keys.append((int(turn_idx), sent_idx))
-            for (turn_idx, sent_idx), evs in zip(keys, para_evs):
-                for e in evs:
-                    w = e["words"]
-                    out.append((
-                        "node", conv_id, turn_idx, sent_idx, e["eid"],
-                        e["pattern"], " ".join(w), " ".join(e["pos_tags"]),
-                        " ".join(w[i] for i in e["skeleton_word_indices"]),
-                        " ".join(w[i] for i in e["verb_indices"]),
-                        e["position"], e["frequency"],
-                        None, None, None, None,
-                    ))
-            for hid, tid, sense, wt in extract_paragraph_relations(sentences, para_evs):
-                out.append((
-                    "edge", conv_id, None, None, None, None, None, None,
-                    None, None, None, None, hid, tid, sense, wt,
-                ))
+            out.extend(conversation_instance_rows(conv_id, rows, memo))
             if len(out) >= 16384:
                 yield _frame(out, _INST_COLS)
                 out = []

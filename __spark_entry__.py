@@ -261,7 +261,8 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     from aser_spark.textops import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return ngram_jaccard_pairs(d, n=3, threshold=0.35, length_band=16)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.35, length_band=16,
+                               max_gram_df=120)
 
 
 def _q_minhash_signatures(spark, sf_dir):
@@ -292,6 +293,14 @@ def _q_lsh_signatures(spark, sf_dir):
     from aser_spark.textops import hyperplane_signatures
 
     return hyperplane_signatures(_t(spark, sf_dir, "embeddings"), n_planes=6)
+
+
+def _q_lsh_ann_topk(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.textops import lsh_ann_topk
+
+    return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), k=3,
+                        n_planes=6, n_tables=3)
 
 
 # --- KG pipeline queries.  The EXTRACTION kernel is non-SQL-expressible
@@ -353,7 +362,7 @@ def _q_embedding_near_dups(spark, sf_dir):
     from aser_spark.textops import embedding_near_duplicates
 
     return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"),
-                                     threshold=0.2, n_planes=6)
+                                     threshold=0.2, n_planes=6, n_tables=3)
 
 
 def _q_kg_concepts(spark, sf_dir):
@@ -432,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _q_simhash_documents,
         "cosine_topk": _q_cosine_topk,
         "lsh_signatures": _q_lsh_signatures,
+        "lsh_ann_topk": _q_lsh_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
@@ -454,6 +464,49 @@ _EN_STOP = "('the','and','of','to','is','in','that','it','was','for')"
 
 _PRONS_SQL = ("['he','she','i','him','her','me','woman','man','boy','girl',"
               "'you','we','they']")
+
+
+def _emb_dim() -> int:
+    """Embedding dimensionality of the driver testdata (constant across
+    scale factors — same generator)."""
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                          columns=["embedding"])
+        return len(t.column(0)[0])
+    except Exception:
+        return 64
+
+
+def _sig_sql(n_planes: int, table: int, dim: int) -> str:
+    """Sign-bit signature expression over the SAME Rademacher plane
+    literals the Spark plan embeds (rademacher_planes is pure Python, so
+    both sides compute from identical constants); list_dot_product folds
+    sequentially over dims, matching the UDF's accumulation order."""
+    from aser_spark.textops.similarity import rademacher_planes
+
+    bits = []
+    for plane in rademacher_planes(n_planes, dim, table):
+        lits = "[" + ", ".join(str(v) for v in plane) + "]"
+        bits.append(
+            "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"{lits}) >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _multi_sig_union_sql(n_planes: int, n_tables: int, dim: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {_sig_sql(n_planes, t, dim)} AS sig "
+        "FROM embeddings"
+        for t in range(n_tables))
+
+
+_COS_PAIR_SQL = """
+    ROUND(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) /
+          (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) *
+           sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 6)
+"""
 
 
 def _kg_oracle_sql() -> dict[str, str]:
@@ -763,8 +816,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": f"""
             WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 150),
-            g AS (SELECT DISTINCT doc_id, substr(t, i, 3) AS gram
-                  FROM d JOIN {series} s ON s.i <= greatest(length(t) - 2, 1)),
+            g0 AS (SELECT DISTINCT doc_id, substr(t, i, 3) AS gram
+                   FROM d JOIN {series} s ON s.i <= greatest(length(t) - 2, 1)),
+            keep AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 120),
+            g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN keep USING (gram)),
             sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
             bands AS (SELECT doc_id, CAST(floor(length(t) / 16) AS INT) AS len_band FROM d),
             gg AS (SELECT g.doc_id, gram, n_grams, len_band
@@ -773,7 +828,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      a.n_grams AS na, b.n_grams AS nb, COUNT(*) AS i
               FROM gg a JOIN gg b
-                ON a.gram = b.gram AND a.doc_id < b.doc_id AND a.len_band = b.len_band
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+               AND abs(a.len_band - b.len_band) <= 1
               GROUP BY 1, 2, 3, 4)
             SELECT doc_a, doc_b, ROUND(i / (na + nb - i), 6) AS jaccard
             FROM inter WHERE ROUND(i / (na + nb - i), 6) >= 0.35
@@ -815,35 +871,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, CAST(rank AS INT) AS rank, cid, cos_sim
             FROM r WHERE rank <= 3
         """,
-        "embedding_near_dups": """
-            WITH planes AS (SELECT vec_id AS plane_id, embedding AS pv
-                            FROM embeddings WHERE vec_id < 6),
-            bits AS (
-              SELECT e.vec_id, p.plane_id,
-                     CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) >= 0
-                          THEN '1' ELSE '0' END AS bit
-              FROM embeddings e, planes p),
-            sigs AS (SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS sig
-                     FROM bits GROUP BY vec_id),
+        "embedding_near_dups": f"""
+            WITH sigs AS ({_multi_sig_union_sql(6, 3, _emb_dim())}),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM sigs a JOIN sigs b
+                ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
             pairs AS (
-              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                     ROUND(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) /
-                           (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) *
-                            sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 6) AS cos_sim
-              FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-              JOIN embeddings ea ON ea.vec_id = a.vec_id
-              JOIN embeddings eb ON eb.vec_id = b.vec_id)
+              SELECT vec_a, vec_b, {_COS_PAIR_SQL} AS cos_sim
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = vec_a
+              JOIN embeddings eb ON eb.vec_id = vec_b)
             SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.2
         """,
-        "lsh_signatures": """
-            WITH planes AS (SELECT vec_id AS plane_id, embedding AS pv
-                            FROM embeddings WHERE vec_id < 6),
-            bits AS (
-              SELECT e.vec_id, p.plane_id,
-                     CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) >= 0
-                          THEN '1' ELSE '0' END AS bit
-              FROM embeddings e, planes p)
-            SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS sig
-            FROM bits GROUP BY vec_id
+        "lsh_ann_topk": f"""
+            WITH sigs AS ({_multi_sig_union_sql(6, 3, _emb_dim())}),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM sigs a JOIN sigs b
+                ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+            bidir AS (SELECT vec_a, vec_b FROM cand
+                      UNION ALL SELECT vec_b AS vec_a, vec_a AS vec_b FROM cand),
+            scored AS (
+              SELECT vec_a AS qid, vec_b AS cid, {_COS_PAIR_SQL} AS cos_sim
+              FROM bidir
+              JOIN embeddings ea ON ea.vec_id = vec_a
+              JOIN embeddings eb ON eb.vec_id = vec_b),
+            r AS (SELECT qid, cid, cos_sim,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY cos_sim DESC, cid ASC) AS rank
+                  FROM scored)
+            SELECT qid, CAST(rank AS INT) AS rank, cid, cos_sim
+            FROM r WHERE rank <= 3
+        """,
+        "lsh_signatures": f"""
+            SELECT vec_id, {_sig_sql(6, 0, _emb_dim())} AS sig FROM embeddings
         """,
     }

@@ -63,14 +63,30 @@ def doc_grams(documents: DataFrame, n: int = 3) -> DataFrame:
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
                         threshold: float = 0.8,
-                        length_band: int = 16) -> DataFrame:
+                        length_band: int = 16,
+                        max_gram_df: int | None = None) -> DataFrame:
     """Near-duplicate pairs by character-n-gram Jaccard similarity.
 
-    Self-join on the gram restricted to equal length bands
-    (floor(len/band)): true near-dups have similar lengths, so banding
-    bounds the join fanout.
+    Scale bounds on the gram self-join:
+
+    * ``max_gram_df`` — STOP-GRAM pruning: grams appearing in more than
+      this many documents are dropped BEFORE the join (their buckets go
+      quadratic in corpus size — a gram like ``'the'`` is in ~every doc).
+      Jaccard is then computed over the pruned (informative-gram) universe
+      consistently — numerator AND denominators — so two documents
+      differing only in boilerplate score by their distinctive content,
+      the idf-style semantics a near-dup detector wants.  REQUIRED at
+      corpus scale; None only for tiny exact comparisons.
+    * length banding — pairs are kept when floor(len/band) differs by at
+      most 1 (adjacent bands included, so near-dups straddling a band
+      boundary are NOT silently missed); with the df cutoff in place this
+      is a filter, not the join key.
     """
     g = doc_grams(documents, n)
+    if max_gram_df is not None:
+        keep = (g.groupBy("gram").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_gram_df).select("gram"))
+        g = g.join(keep, "gram", "left_semi")
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     bands = documents.select(
         "doc_id", (F.length(_norm(F.col("text"))) / length_band).cast("int").alias("len_band"))
@@ -80,7 +96,7 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) &
                   (F.col("a.doc_id") < F.col("b.doc_id")) &
-                  (F.col("a.len_band") == F.col("b.len_band")))
+                  (F.abs(F.col("a.len_band") - F.col("b.len_band")) <= 1))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
                  F.col("a.n_grams").alias("na"), F.col("b.n_grams").alias("nb"))
         .agg(F.count("*").alias("inter"))

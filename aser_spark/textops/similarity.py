@@ -1,17 +1,55 @@
 """Similarity search over an embedding column (array<float>).
 
-* brute-force cosine top-k — zip_with/aggregate dot products (JVM-side),
-  window top-k; the exact baseline.
-* LSH ANN — random-hyperplane signatures; here the "hyperplanes" are the
-  first P data vectors (deterministic, oracle-reproducible), sign-bit
-  signature -> bucket join -> rerank inside buckets.  At scale the probe
-  side only joins its own bucket, turning O(N*Q) into O(bucket) work, and
-  the signature build is a single broadcast join.
+* brute-force cosine top-k — broadcast query matrix + one mapInPandas
+  pass; the exact baseline.
+* LSH ANN — banded multi-table random-hyperplane LSH.  Hyperplanes are
+  RADEMACHER (+-1) sign vectors derived from md5 of (table, plane, dim) —
+  data-independent (no correlated-bucket skew from using data vectors as
+  planes), deterministic, and bit-reproducible in the DuckDB oracle as
+  literal lists.  A pair is a candidate if it collides in ANY of the
+  ``n_tables`` bucket tables (OR-amplification): collision probability for
+  angle theta is 1-(1-(1-theta/pi)^r)^L, so recall is tunable without
+  making any single bucket coarse.  At scale each table's bucket join is
+  an equi-shuffle on (table, sig) and the quadratic rerank is confined to
+  within-bucket collisions; ``suggest_n_planes`` scales r with log2(N) to
+  keep expected bucket size bounded as the corpus grows.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window, functions as F
+
+
+def rademacher_planes(n_planes: int, dim: int, table: int = 0) -> list:
+    """``n_planes`` deterministic +-1 hyperplanes: sign(t,p,d) = low bit of
+    md5("plane:{t}:{p}:{d}").  Pure data; identical lists are embedded as
+    literals in both the Spark plan and the oracle SQL."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{table}:{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:15], 16) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def suggest_n_planes(n_rows: int, target_bucket: int = 256) -> int:
+    """r ~ log2(N / target_bucket): keeps E[bucket size] ~= target as the
+    corpus scales (assuming near-uniform sign bits, which Rademacher planes
+    give for centered data)."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_rows, 2) / target_bucket)))
+
+
+def _embedding_dim(embeddings: DataFrame) -> int:
+    head = embeddings.select("embedding").head()
+    if head is None:
+        return 0
+    return len(head[0])
 
 
 def _d(a):
@@ -70,24 +108,29 @@ def _with_norms(embeddings: DataFrame, id_alias: str, v_alias: str, n_alias: str
     )
 
 
-def brute_force_cosine_topk(embeddings: DataFrame, k: int = 5,
-                            max_queries: int | None = None) -> DataFrame:
-    """Exact top-k cosine neighbors per query vector.
+def brute_force_cosine_topk(embeddings: DataFrame, k: int,
+                            max_queries: int) -> DataFrame:
+    """Exact top-k cosine neighbors for a BOUNDED query block.
 
-    Plan: the (bounded) query block is broadcast as a dense matrix; ONE
-    ``mapInPandas`` pass over the candidate side emits (qid, cid, sim)
-    triples.  The naive inequality-join alternative ships both 64-dim
-    vectors per PAIR through the exchange (O(pairs·dim) bytes); this ships
-    candidates once (O(N·dim)) — ~10x faster at sf0.1 and the gap widens
-    with corpus size.  Accumulation stays sequential over dimensions
-    (vectorized over rows), bit-identical to the fold semantics the DuckDB
-    oracle reproduces."""
+    ``max_queries`` is required and is a COUNT (first ``max_queries``
+    vectors by vec_id order — no dense-id assumption): the query block is
+    collected and broadcast, so an unbounded default would be a
+    driver-OOM at corpus scale.  For all-pairs needs use the LSH path.
+
+    Plan: broadcast query matrix; ONE ``mapInPandas`` pass over the
+    candidate side emits (qid, cid, sim) triples.  The naive
+    inequality-join alternative ships both 64-dim vectors per PAIR through
+    the exchange (O(pairs·dim) bytes); this ships candidates once
+    (O(N·dim)).  Accumulation stays sequential over dimensions (vectorized
+    over rows), bit-identical to the fold semantics the DuckDB oracle
+    reproduces."""
     import pandas as pd
 
     spark = embeddings.sparkSession
-    q = embeddings
-    if max_queries is not None:
-        q = q.filter(F.col("vec_id") < max_queries)
+    if max_queries is None:
+        raise ValueError("max_queries is required: the query block is "
+                         "collected to the driver and broadcast")
+    q = embeddings.orderBy("vec_id").limit(max_queries)
     q_rows = q.select("vec_id", "embedding").collect()  # bounded query batch
     if not q_rows:
         return spark.createDataFrame([], "qid long, rank int, cid long, cos_sim double")
@@ -127,29 +170,6 @@ def brute_force_cosine_topk(embeddings: DataFrame, k: int = 5,
             .select("qid", "rank", "cid", "cos_sim"))
 
 
-def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
-                              n_planes: int = 8) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (the fifth dedup strategy):
-    LSH signature buckets bound the candidate set, exact cosine rerank
-    inside buckets, keep pairs with cos >= threshold.
-
-    With random-hyperplane LSH the collision probability is
-    (1 - theta/pi)^n_planes, so true near-dups (theta ~ 0) almost always
-    share a bucket while the cross-corpus quadratic pair space never
-    materializes."""
-    dot = _pair_dot_udf()
-    sig = hyperplane_signatures(embeddings, n_planes)
-    e = embeddings.join(sig, "vec_id")
-    a = _with_norms(e, "vec_a", "va", "na").join(
-        e.select(F.col("vec_id").alias("vec_a"), "sig"), "vec_a")
-    b = _with_norms(e, "vec_b", "vb", "nb").join(
-        e.select(F.col("vec_id").alias("vec_b"), F.col("sig").alias("bsig")), "vec_b")
-    pairs = a.join(b, (F.col("sig") == F.col("bsig")) & (F.col("vec_a") < F.col("vec_b")))
-    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    return (pairs.select("vec_a", "vec_b", sim.alias("cos_sim"))
-            .filter(F.col("cos_sim") >= threshold))
-
-
 def _seq_norms(M):
     """Euclidean norms with sequential per-dim accumulation (matches the
     fold/list_dot_product order exactly)."""
@@ -161,40 +181,111 @@ def _seq_norms(M):
     return np.sqrt(acc)
 
 
-def hyperplane_signatures(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
-    """Sign-bit LSH signature per vector; planes = the first ``n_planes``
-    vectors of the table itself (deterministic, no RNG, reproducible in
-    SQL).  Output: (vec_id, sig) with sig a bit-string like '01101010'."""
-    planes = (
-        embeddings.filter(F.col("vec_id") < n_planes)
-        .select(F.col("vec_id").alias("plane_id"), F.col("embedding").alias("pv"))
-    )
-    crossed = embeddings.crossJoin(F.broadcast(planes))
-    bit = F.when(_dot(F.col("embedding"), F.col("pv")) >= 0, F.lit("1")).otherwise(F.lit("0"))
+def _multi_sig_udf(plane_sets):
+    """Vectorized (Arrow) pandas UDF: embedding -> array of per-table
+    sign-bit signature strings.  Sequential per-dim accumulation (matches
+    the oracle's list_dot_product fold order), vectorized across rows,
+    planes, and tables; ONE scan of the corpus builds every table."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray([p for ps in plane_sets for p in ps], dtype=np.float64)
+    splits = []
+    off = 0
+    for ps in plane_sets:
+        splits.append((off, off + len(ps)))
+        off += len(ps)
+
+    def sigs(emb):
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        E = np.asarray(emb.tolist(), dtype=np.float64)
+        acc = np.zeros((len(E), P.shape[0]), dtype=np.float64)
+        for d in range(P.shape[1]):            # sequential over dims
+            acc += E[:, d:d + 1] * P[None, :, d]
+        bits = np.where(acc >= 0, "1", "0")
+        return pd.Series([["".join(row[s:e]) for s, e in splits] for row in bits])
+
+    sigs.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return pandas_udf(sigs, "array<string>")
+
+
+def hyperplane_signatures(embeddings: DataFrame, n_planes: int = 8,
+                          table: int = 0) -> DataFrame:
+    """(vec_id, sig): sign-bit LSH signature per vector under the
+    deterministic Rademacher planes of ``table``.  Linear, shuffle-free."""
+    planes = rademacher_planes(n_planes, _embedding_dim(embeddings), table)
+    udf = _multi_sig_udf([planes])
+    return embeddings.select(
+        "vec_id", F.element_at(udf(F.col("embedding")), 1).alias("sig"))
+
+
+def lsh_table_signatures(embeddings: DataFrame, n_planes: int,
+                         n_tables: int) -> DataFrame:
+    """(vec_id, t, sig) long-form signatures for the banded multi-table
+    LSH: one corpus scan computes all ``n_tables`` signatures."""
+    dim = _embedding_dim(embeddings)
+    plane_sets = [rademacher_planes(n_planes, dim, t) for t in range(n_tables)]
+    udf = _multi_sig_udf(plane_sets)
     return (
-        crossed.select("vec_id", "plane_id", bit.alias("bit"))
-        .groupBy("vec_id")
-        .agg(F.concat_ws("", F.transform(
-            F.array_sort(F.collect_list(F.struct("plane_id", "bit"))),
-            lambda s: s["bit"],
-        )).alias("sig"))
+        embeddings.select("vec_id", udf(F.col("embedding")).alias("sigs"))
+        .select("vec_id", F.posexplode("sigs").alias("t", "sig"))
     )
 
 
-def lsh_ann_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 8) -> DataFrame:
-    """Approximate top-k: candidates share the signature bucket; exact
-    cosine rerank inside the bucket only."""
+def lsh_candidate_vector_pairs(embeddings: DataFrame, n_planes: int,
+                               n_tables: int) -> DataFrame:
+    """Distinct (vec_a < vec_b) pairs colliding in ANY table bucket —
+    OR-amplified candidate generation; work is proportional to actual
+    bucket collisions, never the quadratic pair space."""
+    sigs = lsh_table_signatures(embeddings, n_planes, n_tables)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.t") == F.col("b.t")) &
+                  (F.col("a.sig") == F.col("b.sig")) &
+                  (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+def _rerank_pairs(embeddings: DataFrame, pairs: DataFrame,
+                  a_col: str = "vec_a", b_col: str = "vec_b") -> DataFrame:
+    """Exact cosine for candidate pairs: vectors + norms joined once per
+    side, per-pair dot via the vectorized UDF."""
     dot = _pair_dot_udf()
-    sig = hyperplane_signatures(embeddings, n_planes)
-    e = embeddings.join(sig, "vec_id")
-    q = _with_norms(e, "qid", "qv", "qn").join(
-        e.select(F.col("vec_id").alias("qid"), "sig"), "qid")
-    c = _with_norms(e, "cid", "cv", "cn").join(
-        e.select(F.col("vec_id").alias("cid"), F.col("sig").alias("csig")), "cid")
-    pairs = q.join(c, (F.col("sig") == F.col("csig")) & (F.col("qid") != F.col("cid")))
-    sim = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
+    ea = _with_norms(embeddings, a_col, "_va", "_na")
+    eb = _with_norms(embeddings, b_col, "_vb", "_nb")
+    sim = F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    return (pairs.join(ea, a_col).join(eb, b_col)
+            .select(a_col, b_col, sim.alias("cos_sim")))
+
+
+def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
+                              n_planes: int = 8, n_tables: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the fifth dedup strategy):
+    banded multi-table LSH bounds the candidate set, exact cosine rerank
+    keeps pairs with cos >= threshold.
+
+    Missing a true near-dup requires missing it in EVERY table:
+    P[miss] = (1-(1-theta/pi)^r)^L, e.g. cos=0.95 with r=8, L=4 ->
+    recall ~0.97 while random pairs collide with p ~ (1/2)^r per table."""
+    cands = lsh_candidate_vector_pairs(embeddings, n_planes, n_tables)
+    return (_rerank_pairs(embeddings, cands)
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def lsh_ann_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 8,
+                 n_tables: int = 4) -> DataFrame:
+    """Approximate top-k: candidates collide in any table; exact cosine
+    rerank + per-query window top-k over candidates only."""
+    cands = lsh_candidate_vector_pairs(embeddings, n_planes, n_tables)
+    both = cands.unionByName(
+        cands.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")))
+    scored = _rerank_pairs(embeddings, both).select(
+        F.col("vec_a").alias("qid"), F.col("vec_b").alias("cid"), "cos_sim")
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
-    return (pairs.select("qid", "cid", sim.alias("cos_sim"))
-            .withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "cid", "cos_sim"))

@@ -69,11 +69,17 @@ def test_cosine_topk_exact(spark):
 
     rows = [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
     e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    got = brute_force_cosine_topk(e, k=1).collect()
+    got = brute_force_cosine_topk(e, k=1, max_queries=4).collect()
     best = {r.qid: (r.cid, r.cos_sim) for r in got}
     assert best[0][0] == 1
     assert math.isclose(best[0][1], 1 / math.sqrt(1.01), rel_tol=1e-5)
     assert best[2][0] == 1               # (0,1) is the only non-orthogonal
+
+    import pytest
+    with pytest.raises(TypeError):
+        # max_queries is REQUIRED: unbounded query side would collect the
+        # whole corpus to the driver
+        brute_force_cosine_topk(e, k=1)
 
 
 def test_lsh_ann_agrees_with_brute_force_in_bucket(spark):
@@ -130,3 +136,40 @@ def test_embedding_near_duplicates(spark):
            for r in embedding_near_duplicates(e, threshold=0.95, n_planes=2).collect()}
     assert (0, 1) in got and got[(0, 1)] > 0.999
     assert all(k == (0, 1) for k in got)
+
+
+def test_banded_lsh_recall_beats_single_table(spark):
+    """OR-amplification: candidates found in ANY of L tables are a superset
+    of any single table's candidates, and near-identical vectors always
+    collide somewhere."""
+    import random
+
+    from aser_spark.textops.similarity import lsh_candidate_vector_pairs
+
+    rnd = random.Random(11)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    rows = [(0, base), (1, [v + 1e-4 for v in base])]
+    rows += [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(2, 50)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    multi = {(r.vec_a, r.vec_b)
+             for r in lsh_candidate_vector_pairs(e, n_planes=6, n_tables=4).collect()}
+    single = {(r.vec_a, r.vec_b)
+              for r in lsh_candidate_vector_pairs(e, n_planes=6, n_tables=1).collect()}
+    assert (0, 1) in multi                       # true near-dup never lost
+    assert single <= multi                       # OR-amplification is monotone
+
+
+def test_ngram_stop_gram_cutoff_keeps_near_dups(spark):
+    """Stop-gram pruning drops corpus-wide grams from the join but true
+    near-duplicate pairs (sharing rare grams) survive with high jaccard."""
+    from aser_spark.textops import ngram_jaccard_pairs
+
+    common = "the quick brown fox jumps over the lazy dog "
+    rows = [(0, common + "unique-alpha-sequence-xyzzy"),
+            (1, common + "unique-alpha-sequence-xyzzq")]
+    rows += [(i, common + f"tail number {i}") for i in range(2, 30)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in ngram_jaccard_pairs(d, n=3, threshold=0.5, length_band=64,
+                                        max_gram_df=10).collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 0.5

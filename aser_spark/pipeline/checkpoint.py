@@ -16,6 +16,9 @@ lineage + metrics"):
 4. append one _checkpoints row per finished part: counts, wall clock,
    source lineage.
 
+All filesystem inspection goes through the Hadoop FileSystem API resolved
+from the workdir URI — NOT local ``Path``/``shutil`` — so the same code
+runs against file://, hdfs://, s3a://, ... (the Iceberg-production story).
 With an Iceberg catalog steps 3-4 become a single atomic multi-table
 transaction; on plain parquet the checkpoint row is the commit marker —
 a partition is only ever trusted if its _checkpoints row exists.
@@ -24,16 +27,60 @@ a partition is only ever trusted if its _checkpoints row exists.
 from __future__ import annotations
 
 import datetime as _dt
-import shutil
 import time
-from pathlib import Path
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
+from ..schemas import INSTANCE_SCHEMA
 from .extract import extract_graph_instances
 
 DEFAULT_PARTS = 64
 _CKPT = "_checkpoints"
+
+CHECKPOINT_SCHEMA = T.StructType([
+    T.StructField("part_id", T.IntegerType(), True),
+    T.StructField("n_convs", T.LongType(), True),
+    T.StructField("n_node_instances", T.LongType(), True),
+    T.StructField("n_edge_instances", T.LongType(), True),
+    T.StructField("status", T.StringType(), True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("wall_ms_batch", T.LongType(), True),
+    T.StructField("committed_at", T.StringType(), True),
+])
+
+INSTANCE_PART_SCHEMA = T.StructType(
+    list(INSTANCE_SCHEMA.fields) + [T.StructField("part_id", T.IntegerType(), True)]
+)
+
+
+def _fs(spark, path_str: str):
+    """(Hadoop FileSystem, Path) for any URI scheme the cluster supports."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def _exists(spark, path_str: str) -> bool:
+    fs, p = _fs(spark, path_str)
+    return fs.exists(p)
+
+
+def _list_names(spark, dir_str: str) -> list:
+    fs, p = _fs(spark, dir_str)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def _delete(spark, path_str: str) -> None:
+    fs, p = _fs(spark, path_str)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _mkdirs(spark, path_str: str) -> None:
+    fs, p = _fs(spark, path_str)
+    fs.mkdirs(p)
 
 
 def with_part_id(transcripts: DataFrame, n_parts: int = DEFAULT_PARTS) -> DataFrame:
@@ -43,10 +90,12 @@ def with_part_id(transcripts: DataFrame, n_parts: int = DEFAULT_PARTS) -> DataFr
 
 
 def load_checkpoints(spark, workdir: str):
-    path = Path(workdir) / _CKPT
-    if not path.exists():
+    path = f"{workdir}/{_CKPT}"
+    if not _exists(spark, path):
         return None
-    return spark.read.parquet(str(path))
+    # explicit schema: an empty (or footerless) checkpoint dir must read as
+    # zero rows, not fail schema inference
+    return spark.read.schema(CHECKPOINT_SCHEMA).parquet(path)
 
 
 def done_part_ids(spark, workdir: str) -> set:
@@ -56,14 +105,23 @@ def done_part_ids(spark, workdir: str) -> set:
     return {r.part_id for r in ck.filter(F.col("status") == "done").select("part_id").collect()}
 
 
-def _clean_orphans(workdir: str, pending_parts: set):
-    inst_dir = Path(workdir) / "instances"
-    if not inst_dir.exists():
-        return
-    for d in inst_dir.glob("part_id=*"):
-        pid = int(d.name.split("=")[1])
+def _clean_orphans(spark, workdir: str, pending_parts: set):
+    """Delete staging dirs of UNCOMMITTED parts left by a killed run —
+    via the Hadoop FS of the workdir, so object stores work too."""
+    inst_dir = f"{workdir}/instances"
+    for name in _list_names(spark, inst_dir):
+        if not name.startswith("part_id="):
+            continue
+        pid = int(name.split("=")[1])
         if pid in pending_parts:
-            shutil.rmtree(d)
+            _delete(spark, f"{inst_dir}/{name}")
+
+
+def _read_instances(spark, workdir: str) -> DataFrame:
+    path = f"{workdir}/instances"
+    if not _exists(spark, path):
+        return spark.createDataFrame([], INSTANCE_PART_SCHEMA)
+    return spark.read.schema(INSTANCE_PART_SCHEMA).parquet(path)
 
 
 def run_extraction_checkpointed(spark, transcripts: DataFrame, workdir: str,
@@ -71,13 +129,13 @@ def run_extraction_checkpointed(spark, transcripts: DataFrame, workdir: str,
                                 source: str = "transcripts") -> DataFrame:
     """Extract graph instances for all not-yet-done partitions; returns the
     FULL instances DataFrame (all committed parts) for downstream stages."""
-    Path(workdir).mkdir(parents=True, exist_ok=True)
+    _mkdirs(spark, workdir)
     t = with_part_id(transcripts, n_parts)
     done = done_part_ids(spark, workdir)
     pending = set(range(n_parts)) - done
 
     if pending:
-        _clean_orphans(workdir, pending)
+        _clean_orphans(spark, workdir, pending)
         todo = t if not done else t.filter(~F.col("part_id").isin(*done))
         t0 = time.time()
         inst = extract_graph_instances(todo.select("conv_id", "turn_idx", "text"))
@@ -88,9 +146,12 @@ def run_extraction_checkpointed(spark, transcripts: DataFrame, workdir: str,
              .parquet(f"{workdir}/instances"))
         wall_ms = int((time.time() - t0) * 1000)
 
-        written = spark.read.parquet(f"{workdir}/instances")
+        # stats over the JUST-WRITTEN partitions only (partition pruning on
+        # part_id keeps this from rescanning every committed part)
+        written = _read_instances(spark, workdir).filter(
+            F.col("part_id").isin(*pending))
         stats = (
-            written.filter(F.col("part_id").isin(*pending) if done else F.lit(True))
+            written
             .groupBy("part_id")
             .agg(
                 F.countDistinct("conv_id").alias("n_convs"),
@@ -114,4 +175,4 @@ def run_extraction_checkpointed(spark, transcripts: DataFrame, workdir: str,
             stats = stats.unionByName(empty_rows)
         stats.write.mode("append").parquet(f"{workdir}/{_CKPT}")
 
-    return spark.read.parquet(f"{workdir}/instances").drop("part_id")
+    return _read_instances(spark, workdir).drop("part_id")

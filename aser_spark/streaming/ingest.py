@@ -10,8 +10,15 @@ staging layout the batch checkpointer uses, so the graph aggregation
 at any time.
 
 * ``stream_extract_transcripts`` — file-source stream -> foreachBatch ->
-  fused extraction -> append parquet, with Spark's own streaming checkpoint
-  giving exactly-once per micro-batch.
+  fused extraction -> IDEMPOTENT parquet sink: each micro-batch overwrites
+  its own ``batch_id=`` partition (dynamic partition overwrite), so a
+  replay after a mid-write failure REPLACES the partial output instead of
+  appending duplicates — foreachBatch is only at-least-once by itself, and
+  duplicated instance rows would permanently inflate node frequencies.
+  Caveat (documented contract): conversations straddling micro-batches
+  lose cross-batch adjacent-sentence relations; co-locate a conversation's
+  files in one trigger (or run a periodic batch reconciliation) where that
+  matters.
 * ``streaming_turn_rates`` — watermarked tumbling-window aggregation
   (event-time ts, late data tolerated up to the watermark) as the
   monitoring-metric example of stateful streaming ops.
@@ -39,7 +46,10 @@ def stream_extract_transcripts(spark, input_path: str, workdir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         inst = extract_graph_instances(batch_df.select("conv_id", "turn_idx", "text"))
         (inst.withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(f"{workdir}/instances_stream"))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(f"{workdir}/instances_stream"))
 
     writer = (
         stream.writeStream

@@ -171,3 +171,21 @@ def test_checkpoint_resume(spark, transcripts, tmp_path):
     # idempotent third run: nothing pending, same data
     inst3 = run_extraction_checkpointed(spark, transcripts, wd, n_parts=n_parts)
     assert inst3.count() == c1
+
+
+def test_checkpoint_uri_workdir_and_empty_input(spark, tmp_path):
+    """Object-store safety: a file:// URI workdir must work (all FS
+    inspection goes through Hadoop FS, not local Path/shutil), and a run
+    that produces ZERO instance rows must still commit markers and read
+    back as an empty DataFrame instead of failing schema inference."""
+    from aser_spark.datagen.transcripts import TRANSCRIPT_SCHEMA
+    from aser_spark.pipeline.checkpoint import (done_part_ids,
+                                                run_extraction_checkpointed)
+
+    wd = "file://" + str(tmp_path / "kg_uri")
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    inst = run_extraction_checkpointed(spark, empty, wd, n_parts=4)
+    assert inst.count() == 0
+    assert done_part_ids(spark, wd) == {0, 1, 2, 3}   # zero-count commit markers
+    # resume on the fully-committed empty workdir is a no-op
+    assert run_extraction_checkpointed(spark, empty, wd, n_parts=4).count() == 0

@@ -58,15 +58,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _KG_CACHE: dict = {}
 
 
-def _kg(spark: SparkSession, n_convs: int = 400):
-    key = (id(spark), n_convs)
+def _kg(spark: SparkSession, n_convs: int = 400, mode: str = "seed"):
+    key = (id(spark), n_convs, mode)
     if key not in _KG_CACHE:
         _ship_package(spark)
         from aser_spark.datagen import transcripts_df
         from aser_spark.pipeline import build_knowledge_graph, extract_graph_instances
 
         t = transcripts_df(spark, n_convs, seed=42)
-        inst = extract_graph_instances(t).cache()
+        inst = extract_graph_instances(t, mode=mode).cache()
         nodes, edges, lineage = build_knowledge_graph(inst)
         _KG_CACHE[key] = {
             "instances": inst,
@@ -324,6 +324,17 @@ def _q_kg_edges(spark, sf_dir):
         "hid", "tid", "sense", F.round("weight", 4).alias("weight"))
 
 
+def _q_kg_nodes_discourse(spark, sf_dir):
+    nodes = _kg(spark, mode="discourse")["nodes"]
+    return nodes.select("eid", F.col("words").alias("eventuality"),
+                        "pattern", "frequency")
+
+
+def _q_kg_edges_discourse(spark, sf_dir):
+    return _kg(spark, mode="discourse")["edges"].select(
+        "hid", "tid", "sense", F.round("weight", 4).alias("weight"))
+
+
 def _q_kg_core_edges(spark, sf_dir):
     _ship_package(spark)
     from aser_spark.pipeline.graph import build_core_kg
@@ -445,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
+        "kg_nodes_discourse": _q_kg_nodes_discourse,
+        "kg_edges_discourse": _q_kg_edges_discourse,
         "kg_core_edges": _q_kg_core_edges,
         "kg_sense_histogram": _q_kg_sense_histogram,
         "kg_top_related": _q_kg_top_related,
@@ -572,6 +585,17 @@ def _kg_oracle_sql() -> dict[str, str]:
         """,
         "kg_edges": f"""
             SELECT hid, tid, sense, ROUND(weight, 4) AS weight FROM {edges_agg} e
+        """,
+        "kg_nodes_discourse": f"""
+            SELECT eid, MIN(words) AS eventuality, MIN(pattern) AS pattern,
+                   SUM(frequency) AS frequency
+            FROM read_parquet('{p["instances_discourse"]}')
+            WHERE kind = 'node' GROUP BY eid
+        """,
+        "kg_edges_discourse": f"""
+            SELECT hid, tid, sense, ROUND(SUM(weight), 4) AS weight
+            FROM read_parquet('{p["instances_discourse"]}')
+            WHERE kind = 'edge' GROUP BY hid, tid, sense
         """,
         "kg_core_edges": f"""
             WITH c AS (SELECT eid FROM {nodes_agg} n WHERE frequency >= 2.0)

@@ -127,13 +127,16 @@ def eid_of(rendered_deps, words, pos_tags) -> str:
     return hashlib.sha1(msg.encode("utf-8")).hexdigest()
 
 
-def build_eventuality(pattern, sel_deps, n_skeleton, lemmas, tokens, pos_tags, use_lemma=True):
+def build_eventuality(pattern, sel_deps, n_skeleton, lemmas, tokens, pos_tags,
+                      use_lemma=True, ners=None):
     """Canonicalize one matched candidate into a plain record.
 
     ``sel_deps``: selected raw edges in selection order (positive first —
     the first ``n_skeleton`` are the skeleton). Mirrors Eventuality._construct
-    (eventuality.py:296-359) without NER/mention handling (our parser emits
-    no entity mentions; ners default to 'O')."""
+    (eventuality.py:296-359); ``ners`` (optional per-token NER tags, F8)
+    projects onto the kept word positions like the reference's ``_ners``
+    (eventuality.py:315-316) — downstream the per-position tags merge into
+    frequency-weighted counters (aggregate.node_ner_profiles)."""
     deps = list(sel_deps)
     skel = list(sel_deps[:n_skeleton])
 
@@ -175,6 +178,7 @@ def build_eventuality(pattern, sel_deps, n_skeleton, lemmas, tokens, pos_tags, u
         "pattern": pattern,
         "words": words,
         "pos_tags": tags,
+        "ners": [ners[i] for i in indices] if ners else ["O"] * len(indices),
         "dependencies": [[g, lab, d] for g, lab, d in reset],
         "skeleton_word_indices": skel_word_idx,
         "skeleton_dep_indices": skel_edge_idx,
@@ -249,7 +253,8 @@ def relabel_by_pos(by_pattern):
 
 
 def extract_sentence_eventualities(tokens, lemmas, pos_tags, dependencies,
-                                   use_lemma=True, skip_words=CLAUSE_SKIP_WORDS):
+                                   use_lemma=True, skip_words=CLAUSE_SKIP_WORDS,
+                                   ners=None):
     """Extract all eventualities from one parsed sentence, sorted by
     mean-token position (the reference's in_order mode,
     eventuality_extractor.py:343-388).
@@ -274,7 +279,7 @@ def extract_sentence_eventualities(tokens, lemmas, pos_tags, dependencies,
                 continue
             bucket.append(build_eventuality(
                 name, [deps[i] for i in sel_idx], n_skel,
-                lemmas, tokens, pos_tags, use_lemma,
+                lemmas, tokens, pos_tags, use_lemma, ners,
             ))
         by_pattern[name] = bucket
 

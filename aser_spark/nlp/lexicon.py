@@ -49,8 +49,11 @@ PREPOSITIONS = frozenset(
 )
 
 # subordinating conjunctions -> advcl:<lemma> clause links
+# (wh-subordinators like 'when' are tagged IN here — our grammar treats them
+# uniformly; CoreNLP would say WRB, but the clause machinery is identical)
 SUBORDINATORS = frozenset(
-    "because if although unless before after until while since so".split()
+    "because if although unless before after until while since so "
+    "when whenever where once whereas though".split()
 )
 
 COORDINATORS = frozenset(("and", "but", "or"))

@@ -64,6 +64,12 @@ def _retag(tokens, tags, lemmas):
                 j -= 1
             if j >= 0 and lemmas[j] in ("be", "have") and tags[j].startswith("VB"):
                 tags[i] = "VBN"
+        elif tags[i] in ("VB", "VBP") and i > 0 and tags[i - 1] in (
+            "DT", "PRP$", "JJ", "CD"
+        ):
+            # noun/verb-ambiguous word inside an NP chunk ("the test",
+            # "a review") -> noun reading
+            tags[i], lemmas[i] = "NN", w
 
 
 def _split_clauses(tags, lemmas):
@@ -359,6 +365,45 @@ def _parse_vp_mods_only(head, seq, tags, lemmas, deps):
         k += 1
 
 
+def _constituency(clauses, tokens, tags):
+    """PTB-style bracket string from the clause structure: every token is a
+    leaf in original order (leaf index == token index — the SyntaxTree
+    contract), subordinate clauses wrapped in SBAR with their IN marker.
+    Clause-internal structure stays flat preterminals; only the clause /
+    SBAR skeleton matters to get_clauses (kernel/clauses.py)."""
+    def pre(i):
+        return f"({tags[i]} {tokens[i]})"
+
+    parts = []
+    cursor = 0
+
+    def flush_upto(limit, into):
+        nonlocal cursor
+        while cursor < limit:
+            into.append(pre(cursor))
+            cursor += 1
+
+    for marker, kind, idxs in clauses:
+        if not idxs:
+            continue
+        start = marker if marker is not None else idxs[0]
+        flush_upto(start, parts)
+        if marker is not None:
+            cursor = marker + 1
+        body: list = []
+        flush_upto(idxs[-1] + 1, body)
+        clause_s = "(S " + " ".join(body) + ")"
+        if kind == "sub" and marker is not None:
+            parts.append(f"(SBAR {pre(marker)} {clause_s})")
+        elif kind == "cc" and marker is not None:
+            parts.append(pre(marker))
+            parts.append(clause_s)
+        else:
+            parts.append(clause_s)
+    flush_upto(len(tokens), parts)
+    return "(ROOT (S " + " ".join(parts) + "))" if parts else "()"
+
+
 def parse_sentence(sentence: str):
     """Parse one sentence into the reference parsed_result dict shape."""
     tokens = tokenize(sentence)
@@ -428,7 +473,7 @@ def parse_sentence(sentence: str):
         "pos_tags": tags,
         "ners": ["O"] * len(tokens),
         "mentions": [],
-        "parse": "",
+        "parse": _constituency(clauses, tokens, tags),
         "dependencies": [e for e in uniq if e[0] != e[2]],
     }
 

@@ -27,7 +27,7 @@ from pathlib import Path
 
 STAGE_DIR = os.environ.get("ASER_ORACLE_STAGE_DIR", "/tmp/aser_spark_oracle")
 # bump when the staged layout or the generator/kernel semantics change
-STAGE_VERSION = 3
+STAGE_VERSION = 5
 
 _INSTANCE_COLS = [
     ("kind", "string"), ("conv_id", "string"), ("turn_idx", "int32"),
@@ -35,7 +35,7 @@ _INSTANCE_COLS = [
     ("words", "string"), ("pos_tags", "string"), ("skeleton_words", "string"),
     ("verbs", "string"), ("position", "float64"), ("frequency", "float64"),
     ("hid", "string"), ("tid", "string"), ("sense", "string"),
-    ("weight", "float64"),
+    ("weight", "float64"), ("ners", "string"),
 ]
 
 
@@ -53,7 +53,7 @@ def _write_parquet(path: Path, rows: list, cols: list) -> None:
     os.replace(tmp, path)
 
 
-def _instances_rows(n_convs: int, seed: int) -> list:
+def _instances_rows(n_convs: int, seed: int, mode: str = "seed") -> list:
     from functools import lru_cache
 
     from .datagen.transcripts import gen_conversation_rows
@@ -61,18 +61,31 @@ def _instances_rows(n_convs: int, seed: int) -> list:
     from .nlp import parse_sentence
     from .pipeline.extract import conversation_instance_rows
 
-    @lru_cache(maxsize=16384)
-    def memo(sentence: str):
-        p = parse_sentence(sentence)
-        evs = extract_sentence_eventualities(
-            p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"])
-        return p, evs
+    if mode == "discourse":
+        from .kernel.discourse import extract_sentence_eventualities_discourse
+        from .nlp.syntax import SyntaxTree
+
+        @lru_cache(maxsize=16384)
+        def memo(sentence: str):
+            p = parse_sentence(sentence)
+            evs = extract_sentence_eventualities_discourse(
+                p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
+                syntax_tree=SyntaxTree(p["parse"]), ners=p.get("ners"))
+            return p, evs
+    else:
+        @lru_cache(maxsize=16384)
+        def memo(sentence: str):
+            p = parse_sentence(sentence)
+            evs = extract_sentence_eventualities(
+                p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
+                ners=p.get("ners"))
+            return p, evs
 
     out = []
     for ci in range(n_convs):
         conv = gen_conversation_rows(seed, ci)
         turns = [(r[1], r[3]) for r in conv]  # (turn_idx, text)
-        out.extend(conversation_instance_rows(conv[0][0], turns, memo))
+        out.extend(conversation_instance_rows(conv[0][0], turns, memo, mode))
     return out
 
 
@@ -95,7 +108,8 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
     base = Path(outdir)
     base.mkdir(parents=True, exist_ok=True)
     paths = {k: base / f"{k}.parquet"
-             for k in ("instances", "probase", "kb", "media")}
+             for k in ("instances", "instances_discourse", "probase", "kb",
+                       "media")}
     marker = base / "MARKER.json"
     want = {"version": STAGE_VERSION, "n_convs": n_convs, "seed": seed,
             "n_media": n_media}
@@ -110,6 +124,9 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
     from .pipeline.entities import kb_rows
 
     _write_parquet(paths["instances"], _instances_rows(n_convs, seed),
+                   _INSTANCE_COLS)
+    _write_parquet(paths["instances_discourse"],
+                   _instances_rows(n_convs, seed, mode="discourse"),
                    _INSTANCE_COLS)
     _write_parquet(paths["probase"], probase_rows(),
                    [("instance", "string"), ("concept", "string"),

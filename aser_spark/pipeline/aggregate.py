@@ -26,7 +26,7 @@ DEFAULT_SALTS = 32
 def nodes_from_instances(instances: DataFrame) -> DataFrame:
     return instances.filter(F.col("kind") == "node").select(
         "conv_id", "turn_idx", "sent_idx", "eid", "pattern", "words",
-        "pos_tags", "skeleton_words", "verbs", "frequency",
+        "pos_tags", "skeleton_words", "verbs", "frequency", "ners",
     )
 
 
@@ -89,6 +89,36 @@ def build_lineage(ev_instances: DataFrame, n_salts: int = DEFAULT_SALTS) -> Data
         F.array_distinct(F.flatten(F.collect_list("sids"))).alias("sids"),
         F.sum("n").alias("n_mentions"),
     )
+
+
+def node_ner_profiles(ev_instances: DataFrame) -> DataFrame:
+    """F8/A1-ners: eid -> per-word-position NER counters.
+
+    The reference Counter-merges per-position NER tags weighted by instance
+    frequency when two instances of one eventuality disagree
+    (/root/reference/aser/eventuality.py:66-78, :315-316).  Columnar
+    re-expression: explode (eid, position, tag), two-phase hash aggregation
+    (map-side combining), reassemble an array of (tag -> weight) maps
+    ordered by word position.  Kept as a SIDE TABLE rather than a node
+    payload column: ner profiles are the only non-eid-functional payload,
+    and a separate narrow aggregate keeps the hot node path free of map
+    columns."""
+    toks = F.posexplode(F.split(F.col("ners"), " ")).alias("pos", "tag")
+    per_tag = (
+        ev_instances.filter(F.col("ners").isNotNull())
+        .select("eid", "frequency", toks)
+        .groupBy("eid", "pos", "tag")
+        .agg(F.sum("frequency").alias("w"))
+    )
+    per_pos = per_tag.groupBy("eid", "pos").agg(
+        F.sort_array(F.collect_list(F.struct("tag", "w"))).alias("entries"))
+    # maps are not orderable -> sort (pos, entries-array) structs, build the
+    # map per position afterwards
+    return per_pos.groupBy("eid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "entries"))),
+            lambda s: F.map_from_entries(s["entries"]),
+        ).alias("ner_profile"))
 
 
 def salted_sum(df: DataFrame, keys: list, value_col: str, salt_col: str,

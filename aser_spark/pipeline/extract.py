@@ -29,8 +29,13 @@ _REL_COLS = [f.name for f in RELATION_INSTANCE_SCHEMA.fields]
 _INST_COLS = [f.name for f in INSTANCE_SCHEMA.fields]
 
 
-def _sentence_cache():
+def _sentence_cache(mode: str = "seed"):
     """Per-worker memo of sentence -> (parsed, eventualities).
+
+    ``mode='discourse'`` runs the v2.0 path instead: connective candidate
+    scan -> clause split (constituency SBAR + separators) -> per-clause
+    seed-rule re-extraction (kernel/discourse.py) — clause-level recall
+    where the seed path's skip-word filter drops whole sentences.
 
     Transcript corpora are Zipf-skewed: a handful of head sentences ("i am
     hungry.") recur millions of times, and parse+extract is a pure function
@@ -43,25 +48,37 @@ def _sentence_cache():
     Contract: cached parsed dicts / eventuality records are SHARED —
     downstream code must treat them as frozen (it does: rows are built by
     reading fields only)."""
-    global _SENT_MEMO
-    if _SENT_MEMO is None:
+    if mode not in _SENT_MEMOS:
         from functools import lru_cache
 
         from ..kernel import extract_sentence_eventualities
         from ..nlp import parse_sentence
 
-        @lru_cache(maxsize=8192)
-        def one(sentence: str):
-            p = parse_sentence(sentence)
-            evs = extract_sentence_eventualities(
-                p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"])
-            return p, evs
+        if mode == "discourse":
+            from ..kernel.discourse import extract_sentence_eventualities_discourse
+            from ..nlp.syntax import SyntaxTree
 
-        _SENT_MEMO = one
-    return _SENT_MEMO
+            @lru_cache(maxsize=8192)
+            def one(sentence: str):
+                p = parse_sentence(sentence)
+                evs = extract_sentence_eventualities_discourse(
+                    p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
+                    syntax_tree=SyntaxTree(p["parse"]), ners=p.get("ners"))
+                return p, evs
+        else:
+            @lru_cache(maxsize=8192)
+            def one(sentence: str):
+                p = parse_sentence(sentence)
+                evs = extract_sentence_eventualities(
+                    p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
+                    ners=p.get("ners"))
+                return p, evs
+
+        _SENT_MEMOS[mode] = one
+    return _SENT_MEMOS[mode]
 
 
-_SENT_MEMO = None
+_SENT_MEMOS: dict = {}
 
 
 def _ev_record_to_row(conv_id, turn_idx, sent_idx, e):
@@ -191,7 +208,7 @@ def extract_relations(parsed, num_partitions=None):
     )
 
 
-def conversation_instance_rows(conv_id, turns, memo=None):
+def conversation_instance_rows(conv_id, turns, memo=None, mode="seed"):
     """Pure per-conversation kernel: ``turns`` = (turn_idx, text) pairs in
     turn order -> INSTANCE_SCHEMA tuples (node + edge rows).
 
@@ -206,7 +223,7 @@ def conversation_instance_rows(conv_id, turns, memo=None):
     from ..nlp import split_sentences
 
     if memo is None:
-        memo = _sentence_cache()
+        memo = _sentence_cache(mode)
     out = []
     sentences, para_evs, keys = [], [], []
     for turn_idx, text in turns:
@@ -225,16 +242,18 @@ def conversation_instance_rows(conv_id, turns, memo=None):
                 " ".join(w[i] for i in e["verb_indices"]),
                 e["position"], e["frequency"],
                 None, None, None, None,
+                " ".join(e.get("ners") or ["O"] * len(w)),
             ))
     for hid, tid, sense, wt in extract_paragraph_relations(sentences, para_evs):
         out.append((
             "edge", conv_id, None, None, None, None, None, None,
-            None, None, None, None, hid, tid, sense, wt,
+            None, None, None, None, hid, tid, sense, wt, None,
         ))
     return out
 
 
-def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False):
+def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
+                            mode="seed"):
     """Fused flagship pass: transcripts -> unified node+edge instance rows.
 
     One shuffle (repartition by conv_id), one parse per turn, kernel
@@ -255,10 +274,10 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False)
     cols = ["turn_idx", "text"]
 
     def run(batches):
-        memo = _sentence_cache()
+        memo = _sentence_cache(mode)
         out = []
         for conv_id, rows in _conversation_stream(batches, cols):
-            out.extend(conversation_instance_rows(conv_id, rows, memo))
+            out.extend(conversation_instance_rows(conv_id, rows, memo, mode))
             if len(out) >= 16384:
                 yield _frame(out, _INST_COLS)
                 out = []

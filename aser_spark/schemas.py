@@ -76,6 +76,9 @@ INSTANCE_SCHEMA = T.StructType([
     T.StructField("tid", T.StringType(), True),
     T.StructField("sense", T.StringType(), True),
     T.StructField("weight", T.DoubleType(), True),
+    # F8: per-word NER tags ("O O PERSON"), parallel to words/pos_tags;
+    # merged into frequency-weighted counters by aggregate.node_ner_profiles
+    T.StructField("ners", T.StringType(), True),
 ])
 
 # aggregated graph tables (the reference's Eventualities/Relations tables,

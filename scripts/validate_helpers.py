@@ -1,0 +1,61 @@
+"""Shared DEV-ONLY loader: import the reference package with heavy deps
+stubbed (stanza/ete3/scipy/sklearn are never touched on the deterministic
+code paths we diff against)."""
+
+from __future__ import annotations
+
+import sys
+import types
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def load_reference_modules():
+    """-> dict with ev_ext (SeedRuleEventualityExtractor), conn_scan
+    (reference candidate scan closure), get_clauses (reference utils fn)."""
+    class _Dummy:
+        def __init__(self, *a, **kw):
+            raise RuntimeError("stubbed dependency used at runtime")
+
+    _stub_module("stanza")
+    _stub_module("stanza.server", CoreNLPClient=_Dummy, TimeoutException=Exception)
+    _stub_module("ete3", Tree=_Dummy)
+    _stub_module("scipy", sparse=None)
+    _stub_module("scipy.sparse", csr_matrix=_Dummy, hstack=_Dummy, vstack=_Dummy)
+    sys.modules["scipy"].sparse = sys.modules["scipy.sparse"]
+    _stub_module("sklearn")
+    _stub_module("sklearn.preprocessing", MultiLabelBinarizer=_Dummy)
+    _stub_module("sklearn.linear_model", LogisticRegression=_Dummy,
+                 LogisticRegressionCV=_Dummy)
+    _stub_module("sklearn.multiclass", OneVsRestClassifier=_Dummy)
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from aser.extract.discourse_parser import ConnectiveExtractor
+    from aser.extract.eventuality_extractor import SeedRuleEventualityExtractor
+    from aser.extract.rule import CLAUSE_WORDS
+    from aser.extract.utils import get_clauses
+
+    ev_ext = SeedRuleEventualityExtractor.__new__(SeedRuleEventualityExtractor)
+    ev_ext.skip_words = set(CLAUSE_WORDS)
+    ev_ext.is_externel_corenlp = True  # silence __del__ on the __new__ instance
+
+    ce = ConnectiveExtractor.__new__(ConnectiveExtractor)
+    conn_path = Path("/root/reference/aser/extract/discourse/conn_feats/exp_conn.txt")
+    ce.sorted_conn = sorted(
+        line.rstrip() for line in conn_path.read_text().splitlines() if line.rstrip())
+
+    return {
+        "ev_ext": ev_ext,
+        "conn_scan": ce._extract_connectives_by_tokens,
+        "get_clauses": get_clauses,
+    }

@@ -1,0 +1,134 @@
+"""Discourse path (P4/P5/D1/D2): golden parity vs frozen reference outputs
++ unit semantics for SyntaxTree, clause splitting, and the connective scan.
+
+fixtures/golden_discourse_eventualities.jsonl was frozen by
+scripts/freeze_discourse_goldens.py running the ACTUAL reference code
+(utils.get_clauses + ConnectiveExtractor candidate scan +
+SeedRuleEventualityExtractor per clause, the candidates-only config) over
+3297 unique sentences: synthetic corpus + hand cases.  P/R was 1.0000 at
+freeze time; this suite re-checks our kernel against the frozen outputs
+without importing the reference.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+FIXTURE = Path(__file__).parent.parent / "fixtures" / "golden_discourse_eventualities.jsonl"
+
+
+def _our_extract(sentence):
+    from aser_spark.kernel.discourse import extract_sentence_eventualities_discourse
+    from aser_spark.nlp import parse_sentence
+    from aser_spark.nlp.syntax import SyntaxTree
+
+    p = parse_sentence(sentence)
+    return extract_sentence_eventualities_discourse(
+        p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
+        syntax_tree=SyntaxTree(p["parse"]))
+
+
+def test_golden_discourse_parity():
+    assert FIXTURE.exists(), "run scripts/freeze_discourse_goldens.py --freeze"
+    n = tp = fp = fn = 0
+    with FIXTURE.open() as f:
+        for line in f:
+            row = json.loads(line)
+            want = {(e["eid"], tuple(e["raw"])) for e in row["eventualities"]}
+            got = {(e["eid"], tuple(e["raw_indices"]))
+                   for e in _our_extract(row["sentence"])}
+            tp += len(want & got)
+            fp += len(got - want)
+            fn += len(want - got)
+            n += 1
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    assert n >= 3000
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    # at freeze time parity was exact; regressions should be investigated
+    assert precision == 1.0 and recall == 1.0, (precision, recall)
+
+
+def test_discourse_beats_seed_on_skip_word_sentences():
+    """The seed path (F3) drops any sentence containing a clause word like
+    'when' wholesale; the discourse path extracts per clause."""
+    from aser_spark.kernel import extract_sentence_eventualities
+    from aser_spark.nlp import parse_sentence
+
+    sent = "i was happy when the test passed."
+    p = parse_sentence(sent)
+    seed = extract_sentence_eventualities(
+        p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"])
+    disc = _our_extract(sent)
+    assert seed == []                      # blunt sentence-level drop
+    words = {" ".join(e["words"]) for e in disc}
+    assert "i be happy" in words and "the test pass" in words
+
+
+def test_connective_candidate_scan_longest_match():
+    from aser_spark.kernel.discourse import extract_connective_candidates
+
+    # "as a result" must win over "as"; overlapping spans suppressed
+    toks = "as a result the test passed".split()
+    cands = extract_connective_candidates(toks)
+    assert {c["connective"] for c in cands} == {"as a result"}
+    assert cands[0]["indices"] == [0, 1, 2]
+
+    # paired connective either..or
+    toks = "either the dog barked or the cat slept".split()
+    cands = extract_connective_candidates(toks)
+    conns = {c["connective"]: c["indices"] for c in cands}
+    assert conns.get("either..or") == [0, 4]
+
+
+def test_syntax_tree_ops():
+    from aser_spark.nlp.syntax import SyntaxTree
+
+    t = SyntaxTree("(ROOT (S (NP (PRP i)) (VP (VBP like) (NP (DT the) (NN dog)))))")
+    assert [l.name for l in t.leaves] == ["i", "like", "the", "dog"]
+    assert [l.index for l in t.leaves] == [0, 1, 2, 3]
+    # self category of single token = its preterminal's parent
+    assert t.get_self_category_node_by_token_indices([0]).name == "PRP"
+    assert t.get_common_ancestor_by_token_indices([2, 3]).name == "NP"
+    assert t.get_common_ancestor_by_token_indices([0, 3]).name == "S"
+    # subtree keeps ORIGINAL leaf indices
+    sub = t.get_subtree_by_token_indices([2, 3])
+    assert [l.index for l in sub.tree.get_leaves()] == [2, 3]
+    # sibling ops
+    vp = t.get_common_ancestor_by_token_indices([1, 2, 3])
+    assert vp.name == "VP"
+    left = t.get_left_sibling_category_node_by_token_indices([1, 2, 3])
+    assert left.name == "NP"
+    # None-tree contract
+    assert SyntaxTree("()").tree is None
+    assert SyntaxTree("").tree is None
+
+
+def test_get_clauses_sbar_split_without_connective():
+    """SBAR sub-splitting fires when no separator token marks the boundary
+    (e.g. a complement clause) — the constituency-only path."""
+    from aser_spark.kernel.clauses import get_clauses
+    from aser_spark.nlp.syntax import SyntaxTree
+
+    toks = "he said that she left".split()
+    tree = SyntaxTree(
+        "(ROOT (S (NP (PRP he)) (VP (VBD said) "
+        "(SBAR (IN that) (S (NP (PRP she)) (VP (VBD left)))))))")
+    clauses = get_clauses(toks, tree, sep_indices=None)
+    # parts ordered by first token: main "he said" then SBAR "that she left"
+    assert clauses == [(0, 1), (2, 3, 4)]
+
+    # separator-based split: connective index excluded entirely
+    toks2 = "i slept because he worked".split()
+    clauses2 = get_clauses(toks2, None, sep_indices={2})
+    assert clauses2 == [(0, 1), (3, 4)]
+
+
+def test_get_clauses_strips_punct_and_separators():
+    from aser_spark.kernel.clauses import get_clauses
+
+    toks = ["i", "slept", ",", "he", "worked", "."]
+    assert get_clauses(toks, None, None) == [(0, 1), (3, 4)]

@@ -173,6 +173,33 @@ def test_checkpoint_resume(spark, transcripts, tmp_path):
     assert inst3.count() == c1
 
 
+def test_node_ner_profile_counter_merge(spark):
+    """F8/A1-ners: per-position NER tags merge into frequency-weighted
+    counters across instances of the same eid (eventuality.py:66-78)."""
+    from aser_spark.pipeline.aggregate import node_ner_profiles
+
+    rows = [
+        ("e1", 1.0, "O PERSON"),
+        ("e1", 2.0, "O ORGANIZATION"),
+        ("e1", 1.0, "O PERSON"),
+        ("e2", 1.0, "O O"),
+    ]
+    df = spark.createDataFrame(rows, "eid string, frequency double, ners string")
+    got = {r.eid: r.ner_profile for r in node_ner_profiles(df).collect()}
+    assert got["e1"][0] == {"O": 4.0}
+    assert got["e1"][1] == {"PERSON": 2.0, "ORGANIZATION": 2.0}
+    assert got["e2"] == [{"O": 1.0}, {"O": 1.0}]
+
+
+def test_instances_carry_ner_column(spark):
+    from aser_spark.datagen import transcripts_df
+    from aser_spark.pipeline import extract_graph_instances
+
+    inst = extract_graph_instances(transcripts_df(spark, 5, seed=42))
+    row = inst.filter("kind = 'node'").select("words", "ners").first()
+    assert len(row.ners.split(" ")) == len(row.words.split(" "))
+
+
 def test_checkpoint_uri_workdir_and_empty_input(spark, tmp_path):
     """Object-store safety: a file:// URI workdir must work (all FS
     inspection goes through Hadoop FS, not local Path/shutil), and a run

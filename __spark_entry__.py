@@ -388,6 +388,20 @@ def _q_kg_concepts(spark, sf_dir):
                                 "n_instances")
 
 
+def _q_kg_concepts_multi(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.pipeline.concepts import (aggregate_concepts,
+                                              probase_concepts_multi,
+                                              toy_probase)
+
+    kg = _kg(spark)
+    concept_nodes, _ = aggregate_concepts(
+        probase_concepts_multi(kg["nodes"], toy_probase(spark), topk=3,
+                               max_subs=2, min_frequency=2.0))
+    return concept_nodes.select("words", F.round("score", 4).alias("score"),
+                                "n_instances")
+
+
 def _q_kg_concept_relations(spark, sf_dir):
     _ship_package(spark)
     from aser_spark.pipeline.concepts import (aggregate_concepts,
@@ -413,6 +427,40 @@ def _q_kg_entity_links(spark, sf_dir):
     from aser_spark.pipeline.entities import link_entities, toy_kb
 
     return link_entities(_kg(spark)["nodes"], toy_kb(spark))
+
+
+def _mention_universe(spark):
+    """(conv_id, mention) per conversation: noun words of node instances
+    plus whole eventuality word-strings — multi-word members make the
+    containment-coreference graph non-trivial (an eventuality mentions the
+    nouns inside it)."""
+    inst = _kg(spark)["instances"].filter(F.col("kind") == "node")
+    zipped = F.arrays_zip(F.split("words", " ").alias("w"),
+                          F.split("pos_tags", " ").alias("t"))
+    nouns = (
+        inst.select("conv_id", F.explode(zipped).alias("m"))
+        .filter(F.col("m.t").startswith("NN") & (F.length("m.w") > 0))
+        .select("conv_id", F.col("m.w").alias("mention"))
+    )
+    evs = inst.select("conv_id", F.col("words").alias("mention"))
+    return nouns.unionByName(evs).distinct()
+
+
+def _q_mention_coref_components(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.pipeline.entities import coref_components
+
+    return coref_components(_mention_universe(spark), scope_col="conv_id")
+
+
+def _q_mention_alias_expansion(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.pipeline.entities import expand_mention_aliases, mention_candidates
+
+    mentions = mention_candidates(_kg(spark)["nodes"]).select("mention").distinct()
+    return (expand_mention_aliases(mentions)
+            .select("mention", F.explode("aliases").alias("alias"))
+            .distinct())
 
 
 def _q_lsh_candidate_pairs(spark, sf_dir):
@@ -463,8 +511,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_top_related": _q_kg_top_related,
         "kg_lineage": _q_kg_lineage,
         "kg_concepts": _q_kg_concepts,
+        "kg_concepts_multi": _q_kg_concepts_multi,
         "kg_concept_relations": _q_kg_concept_relations,
         "kg_entity_links": _q_kg_entity_links,
+        "mention_coref_components": _q_mention_coref_components,
+        "mention_alias_expansion": _q_mention_alias_expansion,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "media_features": _q_media_features,
     }
@@ -520,6 +571,42 @@ _COS_PAIR_SQL = """
           (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) *
            sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 6)
 """
+
+
+def _alias_expansion_sql(nodes_agg: str, series32: str) -> str:
+    """Oracle for expand_mention_aliases, generated from the SAME stopword /
+    abbreviation data the Spark expressions embed."""
+    from aser_spark.pipeline.entities import _MONTH_DAY_ABBR, _STOPWORDS
+
+    stop = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+    months = ", ".join(f"'{m}'" for m in _MONTH_DAY_ABBR)
+    abbr_case = "CASE lower(mention) " + " ".join(
+        f"WHEN '{m}' THEN {'[' + ', '.join(repr(x) for x in forms) + ']'}"
+        for m, forms in _MONTH_DAY_ABBR.items()) + " END"
+    return f"""
+        WITH idx AS (SELECT string_split(words, ' ') AS w,
+                            string_split(pos_tags, ' ') AS pt
+                     FROM {nodes_agg} n),
+        m AS (SELECT DISTINCT list_extract(w, s.i) AS mention
+              FROM idx JOIN {series32} s ON s.i <= len(w)
+              WHERE list_extract(pt, s.i) LIKE 'NN%'
+                AND length(list_extract(w, s.i)) > 0),
+        std AS (SELECT mention,
+                       array_to_string(list_transform(string_split(mention, ' '),
+                         x -> CASE WHEN list_contains({stop}, lower(x)) THEN lower(x)
+                              ELSE upper(substr(x, 1, 1)) || substr(x, 2) END), ' ')
+                         AS standard
+                FROM m)
+        SELECT DISTINCT mention, alias FROM (
+          SELECT mention, mention AS alias FROM std
+          UNION ALL
+          SELECT mention, standard AS alias FROM std
+          WHERE lower(mention) NOT IN ({months})
+          UNION ALL
+          SELECT mention, unnest({abbr_case}) AS alias FROM std
+          WHERE lower(mention) IN ({months})
+        )
+    """
 
 
 def _kg_oracle_sql() -> dict[str, str]:
@@ -631,6 +718,40 @@ def _kg_oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_instances
             FROM allc GROUP BY concept_words
         """,
+        "kg_concepts_multi": f"""
+            WITH {concept_ctes},
+            cand1 AS (
+              SELECT eid, frequency, concept_words AS orig, concept_words,
+                     CAST(1.0 AS DOUBLE) AS score,
+                     unnest(list_distinct(string_split(concept_words, ' '))) AS word
+              FROM seed),
+            sub1 AS (
+              SELECT c.eid, c.frequency, c.orig,
+                     array_to_string(list_transform(string_split(c.concept_words, ' '),
+                       ww -> CASE WHEN ww = c.word THEN p.concept ELSE ww END), ' ')
+                       AS concept_words,
+                     c.score * p.likelihood AS score, c.word AS lastw
+              FROM cand1 c JOIN ptop p ON c.word = p.instance),
+            cand2 AS (
+              SELECT eid, frequency, orig, concept_words, score,
+                     unnest(list_filter(list_distinct(string_split(orig, ' ')),
+                                        x -> x > lastw)) AS word
+              FROM sub1),
+            sub2 AS (
+              SELECT c.eid, c.frequency, c.orig,
+                     array_to_string(list_transform(string_split(c.concept_words, ' '),
+                       ww -> CASE WHEN ww = c.word THEN p.concept ELSE ww END), ' ')
+                       AS concept_words,
+                     c.score * p.likelihood AS score
+              FROM cand2 c JOIN ptop p ON c.word = p.instance),
+            allm AS (
+              SELECT eid, frequency, concept_words, CAST(1.0 AS DOUBLE) AS score FROM seed
+              UNION ALL SELECT eid, frequency, concept_words, score FROM sub1
+              UNION ALL SELECT eid, frequency, concept_words, score FROM sub2)
+            SELECT concept_words AS words, ROUND(SUM(score * frequency), 4) AS score,
+                   COUNT(*) AS n_instances
+            FROM allm GROUP BY concept_words
+        """,
         "kg_concept_relations": f"""
             WITH {concept_ctes},
             pairs AS (SELECT eid, concept_words, MAX(score) AS score
@@ -667,6 +788,36 @@ def _kg_oracle_sql() -> dict[str, str]:
             SELECT media_id, kind, payload_sha1, n_bytes
             FROM read_parquet('{p["media"]}')
         """,
+        "mention_coref_components": f"""
+            WITH RECURSIVE inst AS (
+              SELECT conv_id, words, pos_tags FROM read_parquet('{p["instances"]}')
+              WHERE kind = 'node'),
+            t AS (SELECT conv_id, string_split(words, ' ') AS w,
+                         string_split(pos_tags, ' ') AS pt, words FROM inst),
+            nn AS (SELECT DISTINCT conv_id, list_extract(w, s.i) AS mention
+                   FROM t JOIN {series32} s ON s.i <= len(w)
+                   WHERE list_extract(pt, s.i) LIKE 'NN%'
+                     AND length(list_extract(w, s.i)) > 0),
+            evs AS (SELECT DISTINCT conv_id, words AS mention FROM inst),
+            m AS (SELECT * FROM nn UNION SELECT * FROM evs),
+            e0 AS (SELECT a.conv_id, a.mention AS s, b.mention AS d
+                   FROM m a JOIN m b ON a.conv_id = b.conv_id
+                    AND a.mention < b.mention
+                   WHERE position(' ' || b.mention || ' ' IN ' ' || a.mention || ' ') > 0
+                      OR position(' ' || a.mention || ' ' IN ' ' || b.mention || ' ') > 0),
+            ed AS (SELECT conv_id || '|' || s AS a, conv_id || '|' || d AS b FROM e0
+                   UNION ALL
+                   SELECT conv_id || '|' || d AS a, conv_id || '|' || s AS b FROM e0),
+            vtx AS (SELECT conv_id, mention, conv_id || '|' || mention AS n FROM m),
+            reach(a, b) AS (
+              SELECT n, n FROM vtx
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+            comp AS (SELECT a, MIN(b) AS c FROM reach GROUP BY a)
+            SELECT vtx.conv_id, vtx.mention, split_part(comp.c, '|', 2) AS component
+            FROM vtx JOIN comp ON comp.a = vtx.n
+        """,
+        "mention_alias_expansion": _alias_expansion_sql(nodes_agg, series32),
     }
 
 

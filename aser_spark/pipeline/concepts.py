@@ -89,6 +89,62 @@ def probase_concepts(nodes: DataFrame, probase: DataFrame, topk: int = 3,
     return seed.unionByName(substituted)
 
 
+def probase_concepts_multi(nodes: DataFrame, probase: DataFrame, topk: int = 3,
+                           max_subs: int = 2,
+                           min_frequency: float = 0.0) -> DataFrame:
+    """MULTI-noun hypernym substitution — the reference's combination beam
+    (aser_conceptualizer.py:168-215) re-expressed as ``max_subs`` rounds of
+    DataFrame expansion instead of a driver-side heap.
+
+    Level k substitutes k distinct matched words of the SEED string in
+    ascending word order (each subset enumerated exactly once); the score
+    of a combination is the product of its substitutions' likelihoods,
+    exactly the reference's ``prob * c_prob`` chain.  Divergences, chosen
+    for scale: (a) the reference bounds output with a global
+    ``topk**topk``-size score heap — a driver structure; we bound by
+    subset size, which is the plan-shaped equivalent (eventualities have
+    <= ~4 nouns, so max_subs=2..3 covers the reference's mass); (b)
+    substitution is by word VALUE (all occurrences), not token index — the
+    two differ only if a substituted concept string equals another
+    instance word, which Probase's concept vocabulary avoids."""
+    if min_frequency > 0:
+        nodes = nodes.filter(F.col("frequency") >= F.lit(min_frequency))
+    seed = seed_rule_concepts(nodes)
+    w = Window.partitionBy("instance").orderBy(F.desc("likelihood"), F.asc("concept"))
+    top = (
+        probase.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("instance", F.regexp_replace("concept", " ", "-").alias("concept"),
+                "likelihood")
+    )
+    base = seed.select(
+        "eid", "pattern", "frequency",
+        F.col("concept_words").alias("_orig"),
+        "concept_words", "score", F.lit("").alias("_last"))
+    levels = [base]
+    cur = base
+    for _ in range(max_subs):
+        cand = cur.select(
+            "eid", "pattern", "frequency", "_orig", "concept_words", "score",
+            F.explode(F.array_distinct(F.filter(
+                F.split(F.col("_orig"), " "),
+                lambda x: x > F.col("_last")))).alias("word"))
+        hits = cand.join(F.broadcast(top), cand.word == top.instance, "inner")
+        cur = hits.select(
+            "eid", "pattern", "frequency", "_orig",
+            F.concat_ws(" ", F.transform(
+                F.split(F.col("concept_words"), " "),
+                lambda ww: F.when(ww == F.col("word"), F.col("concept")).otherwise(ww),
+            )).alias("concept_words"),
+            (F.col("score") * F.col("likelihood")).alias("score"),
+            F.col("word").alias("_last"))
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("eid", "pattern", "frequency", "concept_words", "score")
+
+
 def aggregate_concepts(concepts: DataFrame):
     """-> (concept nodes with summed scores, concept-instance pairs).
 

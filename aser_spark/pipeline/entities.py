@@ -58,6 +58,158 @@ def link_entities(nodes: DataFrame, kb_aliases: DataFrame) -> DataFrame:
     )
 
 
+# small public English stopword list (reference uses nltk's; closed subset
+# sufficient for the alias standard form)
+_STOPWORDS = ("a an the of and or to in on at for with from by as is are "
+              "was were be been am do does did not no").split()
+
+_MONTH_DAY_ABBR = {
+    "january": ["Jan", "Jan."], "february": ["Feb", "Feb."],
+    "march": ["Mar", "Mar."], "april": ["Apr", "Apr."], "may": ["May", "May."],
+    "june": ["Jun", "Jun."], "july": ["Jul", "Jul."],
+    "august": ["Aug", "Aug."],
+    "september": ["Sep", "Sep.", "Sept", "Sept."],
+    "october": ["Oct", "Oct."], "november": ["Nov", "Nov."],
+    "december": ["Dec", "Dec."],
+    "sunday": ["Sun", "Sun."], "monday": ["Mon", "Mon."],
+    "tuesday": ["Tue", "Tue.", "Tu", "Tu.", "Tues", "Tues."],
+    "wednesday": ["Wed", "Wed."],
+    "thursday": ["Thu", "Thu.", "Thur", "Thur.", "Thurs", "Thurs.", "Th", "Th."],
+    "friday": ["Fri", "Fri."], "saturday": ["Sat", "Sat."],
+}
+
+
+def expand_mention_aliases(mentions: DataFrame,
+                           mention_col: str = "mention") -> DataFrame:
+    """Acronym/surface-form expansion (entity_linker.py:46-85): adds an
+    ``aliases`` array — the raw phrase, its standard capitalized form
+    (stopwords lowercased, content words capitalized), and month/weekday
+    abbreviations.  Pure codegen expressions, no UDF."""
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    words = F.split(F.col(mention_col), " ")
+    standard = F.concat_ws(" ", F.transform(
+        words,
+        lambda w: F.when(F.array_contains(stop, F.lower(w)), F.lower(w))
+                   .otherwise(F.concat(F.upper(F.substring(w, 1, 1)),
+                                       F.substring(w, 2, 2 ** 30))),
+    ))
+    abbr = F.lit(None).cast("array<string>")
+    for name, forms in _MONTH_DAY_ABBR.items():
+        abbr = F.when(F.lower(F.col(mention_col)) == name,
+                      F.array(*[F.lit(x) for x in forms])).otherwise(abbr)
+    aliases = F.when(
+        abbr.isNotNull(),
+        F.array_union(F.array(F.col(mention_col)), abbr),
+    ).otherwise(
+        F.array_distinct(F.array(F.col(mention_col), standard))
+    )
+    return mentions.withColumn("aliases", aliases)
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 25) -> DataFrame:
+    """Generic min-label-propagation connected components:
+    (node, component) with component = the ordering-minimal node label of
+    the component.  Converges in O(component diameter) Spark jobs with an
+    early-stop change count.  For billion-edge graphs swap the body for
+    large-star/small-star (same signature); coref graphs here are tiny,
+    near-clique components, so plain propagation converges in 2-3 rounds."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct().persist())
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("component", F.col("node")).persist())
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym.b == labels.node)
+                 .groupBy("a").agg(F.min("component").alias("ncomp")))
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.a, "left")
+            .select(
+                "node",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("ncomp"), F.col("component"))).alias("component"),
+                (F.coalesce(F.col("ncomp"), F.col("component"))
+                 < F.col("component")).cast("int").alias("_chg"))
+            .persist()
+        )
+        # ONE action per round: materializes the new labels AND counts changes
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels.unpersist()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def mention_containment_edges(mentions: DataFrame,
+                              scope_col: str = "conv_id",
+                              mention_col: str = "mention") -> DataFrame:
+    """Coreference candidate edges within a scope (document/conversation):
+    two mentions corefer when one is a word-boundary substring of the other
+    (entity_linker.py:136-141, str_contain :328-338).  The word-boundary
+    check is instr(' '||long||' ', ' '||short||' ') — identical semantics,
+    pure codegen."""
+    a = mentions.select(F.col(scope_col).alias("_scope"),
+                        F.col(mention_col).alias("src"))
+    b = mentions.select(F.col(scope_col).alias("_scope"),
+                        F.col(mention_col).alias("dst"))
+    pad = lambda c: F.concat(F.lit(" "), F.col(c), F.lit(" "))  # noqa: E731
+    return (
+        a.join(b, "_scope")
+        .filter(F.col("src") < F.col("dst"))
+        .filter(pad("src").contains(pad("dst")) | pad("dst").contains(pad("src")))
+        .select(F.col("_scope").alias(scope_col),
+                F.concat_ws("|", "_scope", "src").alias("src"),
+                F.concat_ws("|", "_scope", "dst").alias("dst"))
+    )
+
+
+def coref_components(mentions: DataFrame, scope_col: str = "conv_id",
+                     mention_col: str = "mention") -> DataFrame:
+    """(scope, mention, component): containment-coreference clusters per
+    scope — the reference's DisjointSet merge (entity_linker.py:124-160,
+    str_contain :328-338).  Component label = the lexicographically
+    smallest member mention; singletons keep themselves.
+
+    Plan shape: coreference scope is a single document/conversation, so
+    the graph is embarrassingly scope-local — ONE shuffle
+    (groupBy(scope).applyInPandas) and a per-group union-find, no iterative
+    driver loop.  Group work is O(k^2) in mentions-per-document (same as
+    the reference's DisjointSet.run), bounded by document length, never by
+    corpus size.  For GLOBAL entity graphs (cross-document) use
+    ``connected_components`` instead."""
+    import pandas as pd
+
+    schema = f"{scope_col} string, {mention_col} string, component string"
+
+    def run(pdf):
+        ms = sorted(set(pdf[mention_col]))
+        parent = list(range(len(ms)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        padded = [f" {m} " for m in ms]
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                if padded[j] in padded[i] or padded[i] in padded[j]:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        # always root at the smaller index -> component
+                        # label = lexicographically smallest member
+                        parent[max(ri, rj)] = min(ri, rj)
+        comp = [ms[find(i)] for i in range(len(ms))]
+        return pd.DataFrame({scope_col: pdf[scope_col].iloc[0],
+                             mention_col: ms, "component": comp})
+
+    return mentions.groupBy(scope_col).applyInPandas(run, schema)
+
+
 def entity_cooccurrence_edges(links: DataFrame) -> DataFrame:
     """KG enrichment: entities co-mentioned in one eventuality."""
     a = links.select("eid", F.col("entity_id").alias("e1"))

@@ -132,3 +132,27 @@ def test_streaming_windowed_rates(spark, tmp_path):
     # final watermark closes all but the last — just require the query ran
     got = spark.sql("SELECT * FROM turn_rates")
     assert got.columns == ["window_start", "role", "n_turns"]
+
+
+def test_probase_concepts_multi_combination_scores(spark):
+    """Level-2 combinations carry likelihood PRODUCTS and every subset of
+    matched words is enumerated exactly once."""
+    from pyspark.sql import functions as F
+
+    from aser_spark.pipeline.concepts import probase_concepts_multi
+
+    nodes = spark.createDataFrame(
+        [("e1", "s-v-o", "the dog see the cat", "DT NN VBZ DT NN", 3.0)],
+        "eid string, pattern string, words string, pos_tags string, frequency double")
+    probase = spark.createDataFrame(
+        [("dog", "animal", 0.9), ("cat", "animal", 0.8), ("cat", "pet", 0.5)],
+        "instance string, concept string, likelihood double")
+    out = probase_concepts_multi(nodes, probase, topk=2, max_subs=2)
+    got = {(r.concept_words): round(r.score, 6) for r in out.collect()}
+    assert got["the dog see the cat"] == 1.0                    # subset {}
+    assert got["the animal see the cat"] == 0.9                 # {dog}
+    assert got["the dog see the animal"] == 0.8                 # {cat->animal}
+    assert got["the dog see the pet"] == 0.5                    # {cat->pet}
+    assert got["the animal see the animal"] == round(0.9 * 0.8, 6)
+    assert got["the animal see the pet"] == round(0.9 * 0.5, 6)
+    assert len(got) == 6

@@ -173,6 +173,49 @@ def test_checkpoint_resume(spark, transcripts, tmp_path):
     assert inst3.count() == c1
 
 
+def test_connected_components_label_propagation(spark):
+    """Generic iterative CC: chain 1-2-3-4, pair 5-6, singleton excluded
+    (only nodes appearing in edges are labeled)."""
+    from aser_spark.pipeline.entities import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("c", "d"), ("e", "f")], "src string, dst string")
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
+
+
+def test_coref_components_containment_union_find(spark):
+    """Scope-local union-find matches the reference DisjointSet semantics:
+    word-boundary containment, transitive merge, per-scope isolation."""
+    from aser_spark.pipeline.entities import coref_components
+
+    rows = [
+        ("c1", "the dog bark"), ("c1", "dog"), ("c1", "the dog"),
+        ("c1", "cat"), ("c2", "dog"), ("c2", "cat sleep"), ("c2", "cat"),
+    ]
+    m = spark.createDataFrame(rows, "conv_id string, mention string")
+    got = {(r.conv_id, r.mention): r.component
+           for r in coref_components(m).collect()}
+    assert got[("c1", "the dog bark")] == "dog"   # via "the dog" and "dog"
+    assert got[("c1", "the dog")] == "dog"
+    assert got[("c1", "cat")] == "cat"            # singleton
+    assert got[("c2", "dog")] == "dog"            # scopes don't leak
+    assert got[("c2", "cat sleep")] == "cat"
+
+
+def test_expand_mention_aliases(spark):
+    from aser_spark.pipeline.entities import expand_mention_aliases
+
+    m = spark.createDataFrame(
+        [("september",), ("board of directors",), ("dog",)], "mention string")
+    got = {r.mention: sorted(r.aliases)
+           for r in expand_mention_aliases(m).collect()}
+    assert "Sept." in got["september"] and "september" in got["september"]
+    assert got["board of directors"] == sorted(
+        ["board of directors", "Board of Directors"])
+    assert got["dog"] == sorted(["dog", "Dog"])
+
+
 def test_node_ner_profile_counter_merge(spark):
     """F8/A1-ners: per-position NER tags merge into frequency-weighted
     counters across instances of the same eid (eventuality.py:66-78)."""

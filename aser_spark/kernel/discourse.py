@@ -124,6 +124,145 @@ def extract_connective_candidates(tokens):
     return out
 
 
+# Majority PDTB sense per explicit connective — the deterministic stand-in
+# for the reference's pickled ExplicitSenseClassifier (D6): PDTB 2.0's
+# most-frequent explicit sense for each form, folded onto the reference's
+# 14-sense universe (aser/relation.py:5-12).  Connectives with no dominant
+# mappable sense are omitted (no relation emitted).
+CONNECTIVE_SENSES = {
+    "before": "Precedence", "then": "Precedence", "next": "Precedence",
+    "afterward": "Precedence", "later": "Precedence", "until": "Precedence",
+    "till": "Precedence",
+    "after": "Succession", "once": "Succession", "earlier": "Succession",
+    "previously": "Succession", "as soon as": "Succession",
+    "meanwhile": "Synchronous", "at the same time": "Synchronous",
+    "when": "Synchronous", "while": "Synchronous", "meantime": "Synchronous",
+    "simultaneously": "Synchronous",
+    "because": "Reason", "since": "Reason", "now that": "Reason",
+    "insofar as": "Reason",
+    "so": "Result", "thus": "Result", "therefore": "Result",
+    "hence": "Result", "consequently": "Result", "as a result": "Result",
+    "accordingly": "Result", "so that": "Result", "thereby": "Result",
+    "if": "Condition", "if..then": "Condition", "as long as": "Condition",
+    "but": "Contrast", "however": "Contrast", "by contrast": "Contrast",
+    "by comparison": "Contrast", "in contrast": "Contrast",
+    "conversely": "Contrast", "on the other hand": "Contrast",
+    "whereas": "Contrast",
+    "although": "Concession", "though": "Concession",
+    "nevertheless": "Concession", "nonetheless": "Concession",
+    "still": "Concession", "yet": "Concession",
+    "and": "Conjunction", "also": "Conjunction", "in addition": "Conjunction",
+    "additionally": "Conjunction", "besides": "Conjunction",
+    "furthermore": "Conjunction", "moreover": "Conjunction",
+    "plus": "Conjunction", "as well": "Conjunction", "nor": "Conjunction",
+    "neither..nor": "Conjunction", "likewise": "Conjunction",
+    "similarly": "Conjunction",
+    "for example": "Instantiation", "for instance": "Instantiation",
+    "in other words": "Restatement", "in fact": "Restatement",
+    "indeed": "Restatement", "specifically": "Restatement",
+    "or": "Alternative", "unless": "Alternative", "either..or": "Alternative",
+    "alternatively": "Alternative", "as an alternative": "Alternative",
+    "instead": "ChosenAlternative", "rather": "ChosenAlternative",
+    "except": "Exception",
+}
+
+
+def match_argument_eventuality(arg_indices, eventuality, method: str = "Simpson",
+                               threshold: float = 0.8) -> bool:
+    """J3 theta-join predicate: argument span <-> eventuality raw-token
+    overlap (relation_extractor.py:473-520, the raw_sent_mapping branch —
+    our records always carry ``raw_indices``).
+
+    Simpson = |A ∩ E| / min(|A|, |E|);  Jaccard = |A ∩ E| / |A ∪ E|."""
+    a = set(arg_indices)
+    b = set(eventuality["raw_indices"])
+    if not a or not b:
+        return False
+    inter = len(a & b)
+    denom = min(len(a), len(b)) if method == "Simpson" else len(a | b)
+    return inter / denom >= threshold
+
+
+def extract_ss_discourse_relations(tokens, eventualities, syntax_tree=None,
+                                   method: str = "Simpson",
+                                   threshold: float = 0.8):
+    """Same-sentence v2.0 relation path with deterministic stand-ins:
+
+    connective candidates (D2) -> argument spans = the clauses adjacent to
+    the connective (SSArgumentExtractor stand-in: nearest clause ending
+    before the connective = arg1, first clause starting after it = arg2) ->
+    majority-sense mapping (D6 stand-in) -> J3 Simpson/Jaccard matching of
+    each span to eventualities -> relation instances weighted
+    1/(|E1|*|E2|), the reference's fan normalization
+    (relation_extractor.py:437-451)."""
+    conns = extract_connective_candidates(tokens)
+    sep = set()
+    for c in conns:
+        sep.update(c["indices"])
+    clauses = get_clauses(tokens, syntax_tree, sep)
+    rows = []
+    for c in conns:
+        sense = CONNECTIVE_SENSES.get(c["connective"])
+        if sense is None:
+            continue
+        start = c["indices"][0]
+        before = [cl for cl in clauses if cl and max(cl) < start]
+        after = sorted([cl for cl in clauses if cl and min(cl) > start],
+                       key=lambda cl: min(cl))
+        if before and after:
+            # medial connective: "P because Q" -> arg1 = P, arg2 = Q
+            arg1 = max(before, key=lambda cl: max(cl))
+            arg2 = after[0]
+        elif not before and len(after) >= 2:
+            # sentence-INITIAL subordinator: "because Q, P" -> PDTB order
+            # arg2 = the clause right after the connective, arg1 = the next
+            arg2, arg1 = after[0], after[1]
+        else:
+            continue
+        e1s = [e for e in eventualities
+               if match_argument_eventuality(arg1, e, method, threshold)]
+        e2s = [e for e in eventualities
+               if match_argument_eventuality(arg2, e, method, threshold)]
+        if not e1s or not e2s:
+            continue
+        cnt = 1.0 / (len(e1s) * len(e2s))
+        for e1 in e1s:
+            for e2 in e2s:
+                rows.append((e1["eid"], e2["eid"], sense, cnt))
+    return rows
+
+
+def extract_paragraph_relations_discourse(sentences, para_eventualities,
+                                          syntax_trees=None,
+                                          method: str = "Simpson",
+                                          threshold: float = 0.8):
+    """Paragraph relation instances for the discourse path: unconditional
+    Co_Occurrence over intra-sentence ordered pairs (as in v1), the SS
+    connective/arg-span relations above, and the v1 adjacent-sentence
+    window path (PS classifier stand-in)."""
+    from .relations import senses_adjacent_sentences
+
+    if syntax_trees is None:
+        syntax_trees = [None] * len(sentences)
+    rows = []
+    for sent, evs, tree in zip(sentences, para_eventualities, syntax_trees):
+        for head in evs:
+            for tail in evs:
+                if head["position"] < tail["position"]:
+                    rows.append((head["eid"], tail["eid"], "Co_Occurrence", 1.0))
+        rows.extend(extract_ss_discourse_relations(
+            sent["tokens"], evs, tree, method, threshold))
+    for i in range(len(sentences) - 1):
+        evs1, evs2 = para_eventualities[i], para_eventualities[i + 1]
+        if len(evs1) == 1 and len(evs2) == 1:
+            head, tail = evs1[0], evs2[0]
+            for sense in senses_adjacent_sentences(
+                head, tail, sentences[i]["tokens"], sentences[i + 1]["tokens"]
+            ):
+                rows.append((head["eid"], tail["eid"], sense, 1.0))
+    return rows
+
+
 def _clause_slice(clause, tokens, lemmas, pos_tags, deps):
     """Remap one clause's parse slice to clause-local 0..k indices
     (eventuality_extractor.py:620-633)."""

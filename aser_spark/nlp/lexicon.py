@@ -36,9 +36,11 @@ BE_FORMS = {
 
 MODALS = {w: ("MD", w) for w in ("will", "would", "can", "could", "should", "must", "may", "might", "shall")}
 MODALS["'ll"] = ("MD", "will")
+MODALS["'d"] = ("MD", "would")
 
 # have/do auxiliaries (also usable as main verbs)
 AUX_VERBS = {
+    "'ve": ("VBP", "have"),
     "have": ("VBP", "have"), "has": ("VBZ", "have"), "had": ("VBD", "have"),
     "do": ("VBP", "do"), "does": ("VBZ", "do"), "did": ("VBD", "do"),
 }

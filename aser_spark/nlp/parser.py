@@ -36,8 +36,25 @@ def split_sentences(text: str):
     return [s for s in (_SENT_SPLIT.split(text.strip()) if text else []) if s]
 
 
+_CONTRACTION = re.compile(r"^([A-Za-z]+)('m|'s|'re|'ll|'ve|'d)$", re.IGNORECASE)
+_NT = re.compile(r"^([A-Za-z]+?)(n't)$", re.IGNORECASE)
+
+
 def tokenize(sentence: str):
-    return _TOKEN.findall(sentence)
+    """CoreNLP-style tokens: contractions split off their host
+    (I'm -> I + 'm, can't -> ca + n't)."""
+    out = []
+    for t in _TOKEN.findall(sentence):
+        m = _CONTRACTION.match(t)
+        if m:
+            out.extend([m.group(1), m.group(2)])
+            continue
+        m = _NT.match(t)
+        if m and m.group(1).lower() not in ("n", ""):
+            out.extend([m.group(1), m.group(2)])
+            continue
+        out.append(t)
+    return out
 
 
 def _is_verb(tag):
@@ -89,6 +106,12 @@ def _split_clauses(tags, lemmas):
     while i < n:
         tag, lem = tags[i], lemmas[i]
         if tag in (".", ",", "!", "?", ":", ";"):
+            # a comma/semicolon between two verbal clauses is a clause
+            # boundary (parataxis): "because the cat slept, the dog barked"
+            if tag in (",", ";", ":") and any(
+                _is_verb(tags[j]) for j in cur
+            ) and any(_is_verb(tags[j]) for j in range(i + 1, n)):
+                flush()
             i += 1
             continue
         verb_later = any(_is_verb(tags[j]) for j in range(i + 1, n))
@@ -274,9 +297,14 @@ def _parse_clause(idxs, tags, lemmas, deps, inherited_subject=None):
         subj = inherited_subject
 
     def _attach_pps(head):
+        # SENTENCE-INITIAL PPs ("In the meantime, ...") are scene-setting
+        # adverbials: `nmod:npmod` is allowed to DANGLE by the rules'
+        # negative lists but never selected (rule.py:383-387), which is how
+        # the reference's doc example keeps "i be sure" free of "meantime"
+        # (aser_extractor.py:728-738)
         for prep_idx, np_head in pending_pps:
             deps.append((np_head, "case", prep_idx))
-            deps.append((head, "nmod:" + lemmas[prep_idx], np_head))
+            deps.append((head, "nmod:npmod", np_head))
 
     if main is not None:
         passive = tags[main] == "VBN" and be_idx
@@ -342,8 +370,19 @@ def _parse_clause(idxs, tags, lemmas, deps, inherited_subject=None):
         deps.append((pred, "neg" if lemmas[i] == "not" else "aux", i))
     if subj is not None:
         deps.append((pred, "nsubj", subj))
-    # post-predicate modifiers (PPs, adverbs) attach to the predicate
-    _parse_vp_mods_only(pred, rest2, tags, lemmas, deps)
+    # adjective-complement clause: "i'm sure [we could find ...]" -> the
+    # embedded clause parses independently and hangs off the predicate as
+    # ccomp (CoreNLP-style); dangling ccomp is in the patterns' allowed set
+    if rest2 and any(_is_verb(tags[i]) for i in rest2):
+        before_emb = len(deps)
+        emb_head = _parse_clause(rest2, tags, lemmas, deps)
+        if emb_head is not None and emb_head != pred:
+            deps.append((pred, "ccomp", emb_head))
+        elif len(deps) == before_emb:
+            _parse_vp_mods_only(pred, rest2, tags, lemmas, deps)
+    else:
+        # post-predicate modifiers (PPs, adverbs) attach to the predicate
+        _parse_vp_mods_only(pred, rest2, tags, lemmas, deps)
     _attach_pps(pred)
     return pred
 

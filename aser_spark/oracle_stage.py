@@ -27,7 +27,7 @@ from pathlib import Path
 
 STAGE_DIR = os.environ.get("ASER_ORACLE_STAGE_DIR", "/tmp/aser_spark_oracle")
 # bump when the staged layout or the generator/kernel semantics change
-STAGE_VERSION = 5
+STAGE_VERSION = 7
 
 _INSTANCE_COLS = [
     ("kind", "string"), ("conv_id", "string"), ("turn_idx", "int32"),
@@ -68,10 +68,11 @@ def _instances_rows(n_convs: int, seed: int, mode: str = "seed") -> list:
         @lru_cache(maxsize=16384)
         def memo(sentence: str):
             p = parse_sentence(sentence)
+            tree = SyntaxTree(p["parse"])
             evs = extract_sentence_eventualities_discourse(
                 p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
-                syntax_tree=SyntaxTree(p["parse"]), ners=p.get("ners"))
-            return p, evs
+                syntax_tree=tree, ners=p.get("ners"))
+            return p, evs, tree
     else:
         @lru_cache(maxsize=16384)
         def memo(sentence: str):

@@ -61,10 +61,11 @@ def _sentence_cache(mode: str = "seed"):
             @lru_cache(maxsize=8192)
             def one(sentence: str):
                 p = parse_sentence(sentence)
+                tree = SyntaxTree(p["parse"])
                 evs = extract_sentence_eventualities_discourse(
                     p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
-                    syntax_tree=SyntaxTree(p["parse"]), ners=p.get("ners"))
-                return p, evs
+                    syntax_tree=tree, ners=p.get("ners"))
+                return p, evs, tree
         else:
             @lru_cache(maxsize=8192)
             def one(sentence: str):
@@ -225,12 +226,13 @@ def conversation_instance_rows(conv_id, turns, memo=None, mode="seed"):
     if memo is None:
         memo = _sentence_cache(mode)
     out = []
-    sentences, para_evs, keys = [], [], []
+    sentences, para_evs, keys, trees = [], [], [], []
     for turn_idx, text in turns:
         for sent_idx, sent in enumerate(split_sentences(text)):
-            p, evs = memo(sent)
-            sentences.append(p)
-            para_evs.append(evs)
+            res = memo(sent)
+            sentences.append(res[0])
+            para_evs.append(res[1])
+            trees.append(res[2] if len(res) > 2 else None)
             keys.append((int(turn_idx), sent_idx))
     for (turn_idx, sent_idx), evs in zip(keys, para_evs):
         for e in evs:
@@ -244,7 +246,14 @@ def conversation_instance_rows(conv_id, turns, memo=None, mode="seed"):
                 None, None, None, None,
                 " ".join(e.get("ners") or ["O"] * len(w)),
             ))
-    for hid, tid, sense, wt in extract_paragraph_relations(sentences, para_evs):
+    if mode == "discourse":
+        from ..kernel.discourse import extract_paragraph_relations_discourse
+
+        rel_rows = extract_paragraph_relations_discourse(
+            sentences, para_evs, trees)
+    else:
+        rel_rows = extract_paragraph_relations(sentences, para_evs)
+    for hid, tid, sense, wt in rel_rows:
         out.append((
             "edge", conv_id, None, None, None, None, None, None,
             None, None, None, None, hid, tid, sense, wt, None,

@@ -132,3 +132,51 @@ def test_get_clauses_strips_punct_and_separators():
 
     toks = ["i", "slept", ",", "he", "worked", "."]
     assert get_clauses(toks, None, None) == [(0, 1), (3, 4)]
+
+
+def test_theta_join_simpson_jaccard():
+    from aser_spark.kernel.discourse import match_argument_eventuality
+
+    ev = {"raw_indices": [0, 1, 2, 3]}
+    # Simpson: |{1,2,3}∩E|/min(3,4) = 1.0;  Jaccard: 3/4
+    assert match_argument_eventuality([1, 2, 3], ev, "Simpson", 0.8)
+    assert not match_argument_eventuality([1, 2, 3], ev, "Jaccard", 0.8)
+    assert match_argument_eventuality([1, 2, 3], ev, "Jaccard", 0.75)
+    assert not match_argument_eventuality([], ev, "Simpson", 0.1)
+    assert not match_argument_eventuality([9], ev, "Simpson", 0.1)
+
+
+def test_ss_discourse_relations_fan_normalization():
+    """'a because b' with clause-derived args: Reason(e_a, e_b) weighted
+    1/(|E1|*|E2|)."""
+    from aser_spark.kernel.discourse import extract_sentence_eventualities_discourse, extract_ss_discourse_relations
+    from aser_spark.nlp import parse_sentence
+    from aser_spark.nlp.syntax import SyntaxTree
+
+    p = parse_sentence("the dog barked because the cat slept.")
+    tree = SyntaxTree(p["parse"])
+    evs = extract_sentence_eventualities_discourse(
+        p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"], tree)
+    by_words = {" ".join(e["words"]): e for e in evs}
+    assert "the dog bark" in by_words and "the cat sleep" in by_words
+    rels = extract_ss_discourse_relations(p["tokens"], evs, tree)
+    assert (by_words["the dog bark"]["eid"], by_words["the cat sleep"]["eid"],
+            "Reason", 1.0) in rels
+
+
+def test_paragraph_relations_discourse_cooccurrence():
+    from aser_spark.kernel.discourse import (
+        extract_paragraph_relations_discourse,
+        extract_sentence_eventualities_discourse)
+    from aser_spark.nlp import parse_sentence
+    from aser_spark.nlp.syntax import SyntaxTree
+
+    p = parse_sentence("the dog barked because the cat slept.")
+    tree = SyntaxTree(p["parse"])
+    evs = extract_sentence_eventualities_discourse(
+        p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"], tree)
+    rows = extract_paragraph_relations_discourse([p], [evs], [tree])
+    senses = {(h, t, s) for h, t, s, w in rows}
+    eids = [e["eid"] for e in sorted(evs, key=lambda e: e["position"])]
+    assert (eids[0], eids[1], "Co_Occurrence") in senses
+    assert (eids[0], eids[1], "Reason") in senses

@@ -93,3 +93,25 @@ def test_golden_eids_bit_compatible(fixtures_dir):
             if checked >= 500:
                 break
     assert checked == 500
+
+
+def test_reference_doc_example_boat_accommodations():
+    """The reference's own published doc example
+    (aser_extractor.py:728-738, eventuality_extractor.py:184-193):
+    natural text with contractions, a leading temporal PP, and an
+    adjective-complement clause — none of which the synthetic generator
+    produces.  Our parser + kernel must reproduce the published word lists
+    exactly."""
+    from aser_spark.kernel import extract_sentence_eventualities
+    from aser_spark.nlp import parse_sentence, split_sentences
+
+    text = ("My army will find your boat. In the meantime, I'm sure we "
+            "could find you suitable accommodations.")
+    got = []
+    for s in split_sentences(text):
+        p = parse_sentence(s)
+        evs = extract_sentence_eventualities(
+            p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"])
+        got.append([" ".join(e["words"]) for e in evs])
+    assert got == [["my army will find you boat"],
+                   ["i be sure", "we could find you suitable accommodation"]]

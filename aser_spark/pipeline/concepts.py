@@ -219,3 +219,32 @@ def toy_probase(spark) -> DataFrame:
     schema-compatible so a real dump drops in unchanged."""
     return spark.createDataFrame(
         probase_rows(), "instance string, concept string, likelihood double")
+
+
+def load_probase(spark, path: str, score_method: str = "likelihood") -> DataFrame:
+    """REAL Probase dump loader: `data-concept-instance-relations.txt`
+    (TSV: concept \\t instance \\t co-occurrence freq) -> the
+    (instance, concept, likelihood) table every conceptualization operator
+    here consumes — a drop-in for ``toy_probase``.
+
+    Scoring mirrors the reference (concept.py:165-191):
+    likelihood = co_occurrence / instance_freq;
+    pmi = co_occurrence / concept_freq / instance_freq.
+    Pure DataFrame plan (csv scan + windowed normalizations), so a
+    multi-GB dump loads distributed instead of into a driver dict."""
+    from pyspark.sql import Window as W
+
+    raw = (spark.read.option("sep", "\t").csv(path)
+           .toDF("concept", "instance", "freq")
+           .withColumn("freq", F.col("freq").cast("double")))
+    w_inst = W.partitionBy("instance")
+    scored = raw.withColumn("_inst_freq", F.sum("freq").over(w_inst))
+    if score_method == "likelihood":
+        score = F.col("freq") / F.col("_inst_freq")
+    elif score_method == "pmi":
+        w_con = W.partitionBy("concept")
+        scored = scored.withColumn("_con_freq", F.sum("freq").over(w_con))
+        score = F.col("freq") / F.col("_con_freq") / F.col("_inst_freq")
+    else:
+        raise NotImplementedError(score_method)
+    return scored.select("instance", "concept", score.alias("likelihood"))

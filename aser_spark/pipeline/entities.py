@@ -245,3 +245,18 @@ def toy_kb(spark) -> DataFrame:
     Wikipedia/Wikidata alias dump)."""
     return spark.createDataFrame(
         kb_rows(), "alias string, entity_id string, prior double")
+
+
+def load_kb_aliases(spark, path: str) -> DataFrame:
+    """REAL alias-dump loader (TSV: alias \\t entity_id \\t prior — the
+    shape of a Wikipedia anchor-text or Wikidata alias export) -> the
+    (alias, entity_id, prior) table ``link_entities`` consumes; drop-in
+    for ``toy_kb``.  Missing priors default to the alias's inverse
+    candidate count (uniform prior)."""
+    raw = (spark.read.option("sep", "\t").csv(path)
+           .toDF("alias", "entity_id", "prior")
+           .withColumn("prior", F.col("prior").cast("double")))
+    n_cand = raw.groupBy("alias").agg(F.count("*").alias("_n"))
+    return (raw.join(n_cand, "alias")
+            .select("alias", "entity_id",
+                    F.coalesce(F.col("prior"), 1.0 / F.col("_n")).alias("prior")))

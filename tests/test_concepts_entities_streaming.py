@@ -156,3 +156,37 @@ def test_probase_concepts_multi_combination_scores(spark):
     assert got["the animal see the animal"] == round(0.9 * 0.8, 6)
     assert got["the animal see the pet"] == round(0.9 * 0.5, 6)
     assert len(got) == 6
+
+
+def test_load_probase_dump_likelihood(spark, tmp_path):
+    """Real-dump loader: TSV (concept, instance, freq) -> likelihood =
+    freq / instance_total, matching ProbaseConcept.conceptualize
+    (concept.py:165-191)."""
+    from aser_spark.pipeline.concepts import load_probase, probase_concepts
+
+    tsv = tmp_path / "probase.txt"
+    tsv.write_text("animal\tdog\t30\npet\tdog\t10\nanimal\tcat\t5\n")
+    got = {(r.instance, r.concept): round(r.likelihood, 6)
+           for r in load_probase(spark, str(tsv)).collect()}
+    assert got[("dog", "animal")] == 0.75
+    assert got[("dog", "pet")] == 0.25
+    assert got[("cat", "animal")] == 1.0
+
+    # drop-in: feeds the conceptualization operators unchanged
+    nodes = spark.createDataFrame(
+        [("e1", "s-v", "the dog bark", "DT NN VBZ", 2.0)],
+        "eid string, pattern string, words string, pos_tags string, frequency double")
+    out = probase_concepts(nodes, load_probase(spark, str(tsv)), topk=2)
+    assert "the animal bark" in {r.concept_words for r in out.collect()}
+
+
+def test_load_kb_aliases_dump(spark, tmp_path):
+    from aser_spark.pipeline.entities import load_kb_aliases
+
+    tsv = tmp_path / "kb.tsv"
+    tsv.write_text("dog\tQ1\t0.9\ndog\tQ2\t\ncat\tQ3\t\n")
+    got = {(r.alias, r.entity_id): round(r.prior, 4)
+           for r in load_kb_aliases(spark, str(tsv)).collect()}
+    assert got[("dog", "Q1")] == 0.9
+    assert got[("dog", "Q2")] == 0.5     # uniform fallback: 1/2 candidates
+    assert got[("cat", "Q3")] == 1.0

@@ -61,6 +61,41 @@ def stream_extract_transcripts(spark, input_path: str, workdir: str,
     return writer.start()
 
 
+def streaming_conversation_progress(spark, input_path: str):
+    """CUSTOM STATEFUL operator (applyInPandasWithState): per-conversation
+    running progress — cumulative turn/char counts emitted every time new
+    turns for the conversation arrive in a micro-batch.  State = one small
+    (n_turns, n_chars) tuple per live conv_id, the Spark-native analog of
+    the reference's per-document accumulation loop; state store is
+    checkpointed with the stream, so a restart resumes exactly.
+
+    Returns the streaming DataFrame (caller attaches a sink)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
+
+    def update(key, pdfs, state: GroupState):
+        n_turns, n_chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].str.len().sum())
+        state.update((n_turns, n_chars))
+        yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n_turns],
+                            "n_chars": [n_chars]})
+
+    return (
+        stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="conv_id string, n_turns long, n_chars long",
+            stateStructType="n_turns long, n_chars long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_turn_rates(spark, input_path: str, watermark: str = "10 minutes",
                          window: str = "5 minutes"):
     """Watermarked windowed counts of turns per role — returns the streaming

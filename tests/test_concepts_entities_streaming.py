@@ -190,3 +190,40 @@ def test_load_kb_aliases_dump(spark, tmp_path):
     assert got[("dog", "Q1")] == 0.9
     assert got[("dog", "Q2")] == 0.5     # uniform fallback: 1/2 candidates
     assert got[("cat", "Q3")] == 1.0
+
+
+def test_streaming_stateful_conversation_progress(spark, tmp_path):
+    """applyInPandasWithState: the final per-conversation state matches the
+    batch groupBy ground truth, across multiple micro-batches."""
+    from pyspark.sql import functions as F
+
+    from aser_spark.datagen import transcripts_df
+    from aser_spark.streaming.ingest import streaming_conversation_progress
+
+    t = transcripts_df(spark, 20, seed=42)
+    # two file drops -> at least two micro-batches with maxFilesPerTrigger
+    t.filter(F.col("turn_idx") < 3).write.parquet(f"{tmp_path}/in/a")
+    t.filter(F.col("turn_idx") >= 3).write.parquet(f"{tmp_path}/in/b")
+    src = f"{tmp_path}/in/*"
+
+    q = (streaming_conversation_progress(spark, src)
+         .writeStream.format("memory").queryName("conv_progress")
+         .outputMode("update")
+         .option("checkpointLocation", f"{tmp_path}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    # last emitted row per conv = final cumulative state
+    got = {}
+    for r in spark.sql("SELECT * FROM conv_progress").collect():
+        got[r.conv_id] = (r.n_turns, r.n_chars)  # later rows overwrite
+    want = {r.conv_id: (r.n_turns, r.n_chars)
+            for r in t.groupBy("conv_id")
+                      .agg(F.count("*").alias("n_turns"),
+                           F.sum(F.length("text")).alias("n_chars")).collect()}
+    # memory sink rows arrive in batch order; take max per conv (cumulative)
+    final = {}
+    for r in spark.sql("SELECT * FROM conv_progress").collect():
+        cur = final.get(r.conv_id, (0, 0))
+        final[r.conv_id] = max(cur, (r.n_turns, r.n_chars))
+    assert final == want

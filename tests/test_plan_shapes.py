@@ -71,3 +71,46 @@ def test_salted_agg_is_two_phase(spark):
     # two logical aggregations (salted partial + final), each with its own
     # partial/final physical pair -> at least 3 HashAggregate operators
     assert p.count("HashAggregate") >= 3
+
+
+def _exec_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_concept_multi_substitution_broadcasts_only(spark):
+    """The combination beam joins the (tiny) probase top-k per level:
+    every join must broadcast; a sort-merge join here would shuffle the
+    fact side once per substitution level."""
+    from aser_spark.pipeline.concepts import probase_concepts_multi, toy_probase
+
+    nodes = spark.createDataFrame(
+        [("e1", "s-v", "the dog bark", "DT NN VBZ", 3.0)],
+        "eid string, pattern string, words string, pos_tags string, frequency double")
+    plan = _exec_plan(probase_concepts_multi(nodes, toy_probase(spark), topk=3, max_subs=2))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_coref_components_single_exchange(spark):
+    """Scope-local union-find: ONE hash exchange (the groupBy scope), no
+    iterative driver loop, no windows."""
+    from aser_spark.pipeline.entities import coref_components
+
+    m = spark.createDataFrame([("c1", "dog"), ("c1", "the dog")],
+                              "conv_id string, mention string")
+    plan = _exec_plan(coref_components(m))
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan and "FlatMapGroupsInPandas" in plan
+
+
+def test_link_entities_no_window(spark):
+    """Disambiguation is a map-side-combinable hash aggregation, not a
+    row_number window (the r1 36s scale-killer)."""
+    from aser_spark.pipeline.entities import link_entities, toy_kb
+
+    nodes = spark.createDataFrame(
+        [("e1", "s-v", "the dog bark", "DT NN VBZ", 3.0)],
+        "eid string, pattern string, words string, pos_tags string, frequency double")
+    plan = _exec_plan(link_entities(nodes, toy_kb(spark)))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan

@@ -173,3 +173,30 @@ def test_ngram_stop_gram_cutoff_keeps_near_dups(spark):
            for r in ngram_jaccard_pairs(d, n=3, threshold=0.5, length_band=64,
                                         max_gram_df=10).collect()}
     assert (0, 1) in got and got[(0, 1)] >= 0.5
+
+
+def test_ivf_ann_recall_and_exact_degradation(spark):
+    """IVF ANN: probing ALL lists degrades to exact brute force; probing
+    few lists returns a subset with high recall on clusterable data."""
+    import random
+
+    from aser_spark.textops import brute_force_cosine_topk, ivf_ann_topk
+
+    rnd = random.Random(3)
+    rows = []
+    for c in range(4):                       # 4 well-separated clusters
+        center = [10.0 * (1 if (c >> b) & 1 else -1) for b in range(6)]
+        for i in range(12):
+            rows.append((c * 12 + i,
+                         [v + rnd.uniform(-0.5, 0.5) for v in center]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.qid, r.rank): r.cid
+             for r in brute_force_cosine_topk(e, k=3, max_queries=48).collect()}
+    full_probe = {(r.qid, r.rank): r.cid
+                  for r in ivf_ann_topk(e, k=3, n_lists=4, n_probe=4).collect()}
+    assert full_probe == exact               # n_probe = n_lists -> exact
+
+    ann = {(r.qid, r.rank): r.cid
+           for r in ivf_ann_topk(e, k=3, n_lists=4, n_probe=1).collect()}
+    hits = sum(1 for key, cid in exact.items() if ann.get(key) == cid)
+    assert hits / len(exact) >= 0.9          # same-cluster neighbors found

@@ -23,6 +23,8 @@ def main(argv=None):
     b.add_argument("--workdir", required=True)
     b.add_argument("--n-parts", type=int, default=64)
     b.add_argument("--no-core", action="store_true")
+    b.add_argument("--mode", choices=("seed", "discourse"), default="seed",
+                   help="extraction path: v1 seed rules or v2 discourse (clause-split)")
 
     g = sub.add_parser("gen", help="generate a deterministic transcript corpus")
     g.add_argument("--n-convs", type=int, required=True)
@@ -46,7 +48,8 @@ def main(argv=None):
 
             transcripts = spark.read.parquet(args.input)
             out = build_kg(spark, transcripts, workdir=args.workdir,
-                           core=not args.no_core, n_parts=args.n_parts)
+                           core=not args.no_core, n_parts=args.n_parts,
+                           mode=args.mode)
             print(json.dumps(out.get("metrics", {})))
         elif args.cmd == "gen":
             from .datagen import transcripts_df

@@ -126,7 +126,8 @@ def _read_instances(spark, workdir: str) -> DataFrame:
 
 def run_extraction_checkpointed(spark, transcripts: DataFrame, workdir: str,
                                 n_parts: int = DEFAULT_PARTS,
-                                source: str = "transcripts") -> DataFrame:
+                                source: str = "transcripts",
+                                mode: str = "seed") -> DataFrame:
     """Extract graph instances for all not-yet-done partitions; returns the
     FULL instances DataFrame (all committed parts) for downstream stages."""
     _mkdirs(spark, workdir)
@@ -138,7 +139,8 @@ def run_extraction_checkpointed(spark, transcripts: DataFrame, workdir: str,
         _clean_orphans(spark, workdir, pending)
         todo = t if not done else t.filter(~F.col("part_id").isin(*done))
         t0 = time.time()
-        inst = extract_graph_instances(todo.select("conv_id", "turn_idx", "text"))
+        inst = extract_graph_instances(todo.select("conv_id", "turn_idx", "text"),
+                                       mode=mode)
         inst = inst.withColumn(
             "part_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_parts)).cast("int")
         )

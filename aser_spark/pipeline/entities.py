@@ -210,6 +210,48 @@ def coref_components(mentions: DataFrame, scope_col: str = "conv_id",
     return mentions.groupBy(scope_col).applyInPandas(run, schema)
 
 
+def link_entities_coref(mentions: DataFrame, kb_aliases: DataFrame,
+                        scope_col: str = "conv_id",
+                        mention_col: str = "mention") -> DataFrame:
+    """The FULL reference linking pipeline composed
+    (entity_linker.py:88-182): alias/acronym expansion -> candidate
+    retrieval per alias (max prior per mention-entity, the reference's
+    freq-max merge) -> containment-coreference within the scope ->
+    candidate sets MERGED across each coref component -> best entity per
+    component, assigned to every member mention.
+
+    So "the engineer" and "engineer" in one conversation share one merged
+    candidate pool and resolve to the SAME entity — the reference's
+    DisjointSet person-merge, generalized to all mentions (our parser has
+    no NER classes to restrict by; with real NER, filter the mentions
+    input first).  Output: (scope, mention, component, entity_id, prior)."""
+    aliased = (expand_mention_aliases(mentions, mention_col)
+               .select(scope_col, mention_col, F.explode("aliases").alias("_raw_alias")))
+    norm = F.lower(F.regexp_replace(F.col("_raw_alias"), r"[^\w]", ""))
+    cands = (
+        aliased.withColumn("_alias", norm)
+        .join(F.broadcast(kb_aliases.withColumn("_alias", F.lower(F.col("alias")))),
+              "_alias", "inner")
+        .groupBy(scope_col, mention_col, "entity_id")
+        .agg(F.max("prior").alias("prior"))
+    )
+    comps = coref_components(mentions, scope_col, mention_col)
+    merged = (
+        cands.join(comps, [scope_col, mention_col])
+        .groupBy(scope_col, "component", "entity_id")
+        .agg(F.max("prior").alias("prior"))
+    )
+    best = (
+        merged.groupBy(scope_col, "component")
+        .agg(F.min(F.struct((-F.col("prior")).alias("np"),
+                            F.col("entity_id").alias("entity_id"))).alias("b"))
+        .select(scope_col, "component", F.col("b.entity_id").alias("entity_id"),
+                F.round(-F.col("b.np"), 6).alias("prior"))
+    )
+    return comps.join(best, [scope_col, "component"], "inner").select(
+        scope_col, mention_col, "component", "entity_id", "prior")
+
+
 def entity_cooccurrence_edges(links: DataFrame) -> DataFrame:
     """KG enrichment: entities co-mentioned in one eventuality."""
     a = links.select("eid", F.col("entity_id").alias("e1"))

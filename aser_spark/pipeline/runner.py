@@ -15,7 +15,7 @@ from .graph import build_core_kg, build_knowledge_graph, write_graph_tables
 
 
 def build_kg(spark, transcripts: DataFrame, workdir: str | None = None,
-             core: bool = True, n_parts: int = 64):
+             core: bool = True, n_parts: int = 64, mode: str = "seed"):
     """Run the full pipeline; returns dict of DataFrames + metrics.
 
     With ``workdir``: extraction is checkpointed per conversation-hash
@@ -24,9 +24,10 @@ def build_kg(spark, transcripts: DataFrame, workdir: str | None = None,
     """
     t0 = time.time()
     if workdir:
-        instances = run_extraction_checkpointed(spark, transcripts, workdir, n_parts)
+        instances = run_extraction_checkpointed(spark, transcripts, workdir,
+                                                n_parts, mode=mode)
     else:
-        instances = extract_graph_instances(transcripts)
+        instances = extract_graph_instances(transcripts, mode=mode)
 
     nodes, edges, lineage = build_knowledge_graph(instances)
     out = {"instances": instances, "nodes": nodes, "edges": edges, "lineage": lineage}

@@ -259,3 +259,28 @@ def test_checkpoint_uri_workdir_and_empty_input(spark, tmp_path):
     assert done_part_ids(spark, wd) == {0, 1, 2, 3}   # zero-count commit markers
     # resume on the fully-committed empty workdir is a no-op
     assert run_extraction_checkpointed(spark, empty, wd, n_parts=4).count() == 0
+
+
+def test_link_entities_coref_merges_candidate_pools(spark):
+    """Coref-aware linking (entity_linker.py:124-182 semantics): mentions
+    in one containment component share a merged candidate pool and resolve
+    to the same best entity; other scopes are untouched."""
+    from aser_spark.pipeline.entities import link_entities_coref
+
+    m = spark.createDataFrame(
+        [("c1", "the engineer"), ("c1", "engineer"), ("c1", "dog"),
+         ("c2", "engineer")],
+        "conv_id string, mention string")
+    kb = spark.createDataFrame(
+        # only the bare form has a KB entry, and a weak competitor for the
+        # long form; merged pool must prefer the strong Q7 for BOTH members
+        [("engineer", "Q7", 0.9), ("the engineer", "Q8", 0.2),
+         ("dog", "Q1", 0.9)],
+        "alias string, entity_id string, prior double")
+    got = {(r.conv_id, r.mention): (r.entity_id, r.prior, r.component)
+           for r in link_entities_coref(m, kb).collect()}
+    assert got[("c1", "engineer")][0] == "Q7"
+    assert got[("c1", "the engineer")][0] == "Q7"      # inherited via coref
+    assert got[("c1", "engineer")][2] == got[("c1", "the engineer")][2]
+    assert got[("c1", "dog")][0] == "Q1"
+    assert got[("c2", "engineer")][0] == "Q7"

@@ -62,3 +62,45 @@ def test_eventuality_invariants_on_template_text(sents):
             eids.add(e["eid"])
     for hid, tid, sense, w in rels:
         assert hid in eids and tid in eids and w == 1.0
+
+
+def _discourse_pipeline(text):
+    from aser_spark.kernel.discourse import (
+        extract_paragraph_relations_discourse,
+        extract_sentence_eventualities_discourse)
+    from aser_spark.nlp.syntax import SyntaxTree
+
+    parsed = parse_text(text)
+    trees, para_evs = [], []
+    for p in parsed:
+        tree = SyntaxTree(p["parse"])
+        assert len(tree.leaves) in (0, len(p["tokens"]))  # leaf/token parity
+        trees.append(tree)
+        evs = extract_sentence_eventualities_discourse(
+            p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"], tree)
+        positions = [e["position"] for e in evs]
+        assert positions == sorted(positions)
+        para_evs.append(evs)
+    rels = extract_paragraph_relations_discourse(parsed, para_evs, trees)
+    eids = {e["eid"] for evs in para_evs for e in evs}
+    for hid, tid, sense, w in rels:
+        assert hid in eids and tid in eids and 0.0 < w <= 1.0
+    return parsed, para_evs, rels
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTS)
+def test_discourse_path_total_on_arbitrary_text(text):
+    """The v2.0 path (constituency tree + connective scan + clause split +
+    per-clause re-extraction + SS relations) must be total over garbage."""
+    _discourse_pipeline(text)
+
+
+@settings(max_examples=80, deadline=None)
+@given(TEXTS)
+def test_discourse_path_deterministic(text):
+    a = _discourse_pipeline(text)
+    b = _discourse_pipeline(text)
+    assert [[e["eid"] for e in evs] for evs in a[1]] == \
+           [[e["eid"] for e in evs] for evs in b[1]]
+    assert a[2] == b[2]

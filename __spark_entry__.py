@@ -368,6 +368,36 @@ def _q_kg_lineage(spark, sf_dir):
     return _kg(spark)["lineage"].select("eid", "n_mentions")
 
 
+def _q_kg_edges_wide(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.kernel.relations import RELATION_SENSES
+    from aser_spark.pipeline.graph import edges_wide
+
+    wide = edges_wide(_kg(spark)["edges"])
+    return wide.select(
+        "hid", "tid",
+        *[F.round(s, 4).alias(s) for s in RELATION_SENSES])
+
+
+def _q_kg_partial_match(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.queries import partial_match_top_k
+
+    out = partial_match_top_k(_kg(spark)["nodes"],
+                              ["i", "be", "hungry"], k=10, threshold=0.1)
+    return out.select("eid", "words", "pattern", "frequency",
+                      F.round("similarity", 6).alias("similarity"))
+
+
+def _q_kg_top_edges_per_sense(spark, sf_dir):
+    _ship_package(spark)
+    from aser_spark.queries import top_edges_per_sense
+
+    out = top_edges_per_sense(_kg(spark)["edges"], k=5)
+    return out.select("hid", "tid", "sense",
+                      F.round("weight", 4).alias("weight"), "rank")
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     _ship_package(spark)
     from aser_spark.textops import embedding_near_duplicates
@@ -508,6 +538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges_discourse": _q_kg_edges_discourse,
         "kg_core_edges": _q_kg_core_edges,
         "kg_sense_histogram": _q_kg_sense_histogram,
+        "kg_edges_wide": _q_kg_edges_wide,
+        "kg_partial_match": _q_kg_partial_match,
+        "kg_top_edges_per_sense": _q_kg_top_edges_per_sense,
         "kg_top_related": _q_kg_top_related,
         "kg_lineage": _q_kg_lineage,
         "kg_concepts": _q_kg_concepts,
@@ -609,6 +642,14 @@ def _alias_expansion_sql(nodes_agg: str, series32: str) -> str:
     """
 
 
+def _wide_sense_cols_sql() -> str:
+    from aser_spark.kernel.relations import RELATION_SENSES
+
+    return ",\n                   ".join(
+        f"ROUND(COALESCE(SUM(CASE WHEN sense = '{s}' THEN weight END), 0), 4)"
+        f" AS {s}" for s in RELATION_SENSES)
+
+
 def _kg_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for the KG pipeline: read the pure-Python-staged
     instances/probase/kb/media parquet (see aser_spark/oracle_stage.py) and
@@ -695,6 +736,34 @@ def _kg_oracle_sql() -> dict[str, str]:
         "kg_sense_histogram": f"""
             SELECT sense, COUNT(*) AS n_edges, ROUND(SUM(weight), 4) AS total_weight
             FROM {edges_agg} e GROUP BY sense
+        """,
+        "kg_edges_wide": f"""
+            SELECT hid, tid,
+                   {_wide_sense_cols_sql()}
+            FROM {edges_agg} e GROUP BY hid, tid
+        """,
+        "kg_partial_match": f"""
+            WITH s AS (
+              SELECT eid, words, pattern, frequency,
+                     CAST(len(list_intersect(string_split(words, ' '),
+                                             ['i', 'be', 'hungry'])) AS DOUBLE)
+                     / len(list_distinct(string_split(words, ' ')
+                                         || ['i', 'be', 'hungry'])) AS similarity
+              FROM {nodes_agg} n)
+            SELECT eid, words, pattern, frequency,
+                   ROUND(similarity, 6) AS similarity
+            FROM s WHERE similarity >= 0.1
+            ORDER BY similarity DESC, frequency DESC, eid ASC LIMIT 10
+        """,
+        "kg_top_edges_per_sense": f"""
+            WITH r AS (
+              SELECT hid, tid, sense, weight,
+                     ROW_NUMBER() OVER (PARTITION BY sense
+                       ORDER BY weight DESC, hid ASC, tid ASC) AS rank
+              FROM {edges_agg} e)
+            SELECT hid, tid, sense, ROUND(weight, 4) AS weight,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 5
         """,
         "kg_top_related": f"""
             WITH n AS (SELECT * FROM {nodes_agg} nn),

@@ -50,10 +50,12 @@ def edges_wide(edges: DataFrame) -> DataFrame:
     columns — the reference's Relations table layout
     (/root/reference/aser/database/kg_connection.py:21-23)."""
     return (
-        edges.groupBy("rid", "hid", "tid")
+        edges.groupBy("hid", "tid")           # natural key; rid recomputed
         .pivot("sense", list(RELATION_SENSES))
-        .agg(F.first("weight"))
+        .agg(F.sum("weight"))
         .na.fill(0.0, list(RELATION_SENSES))
+        .withColumn("rid", F.sha1(F.concat_ws("$", F.col("hid"), F.col("tid"))))
+        .select("rid", "hid", "tid", *RELATION_SENSES)
     )
 
 

@@ -40,7 +40,8 @@ def partial_match_top_k(nodes: DataFrame, words: list, k: int = 10,
     return (
         nodes.select("eid", "words", "pattern", "frequency", sim)
         .filter(F.col("similarity") >= threshold)
-        .orderBy(F.desc("similarity"), F.desc("frequency"))
+        # total order (eid tiebreak) so limit-k is deterministic
+        .orderBy(F.desc("similarity"), F.desc("frequency"), F.asc("eid"))
         .limit(k)
     )
 
@@ -54,11 +55,11 @@ def predict_relation(edges: DataFrame, hid: str, tid: str) -> DataFrame:
 
 def top_edges_per_sense(edges: DataFrame, k: int = 10) -> DataFrame:
     """Window top-k: strongest pairs per discourse sense."""
-    w = Window.partitionBy("sense").orderBy(F.desc("weight"), F.asc("rid"))
+    w = Window.partitionBy("sense").orderBy(F.desc("weight"),
+                                            F.asc("hid"), F.asc("tid"))
     return (
         edges.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .drop("rank")
     )
 
 

@@ -263,6 +263,215 @@ def extract_paragraph_relations_discourse(sentences, para_eventualities,
     return rows
 
 
+# ---------------------------------------------------------------------------
+# D2 feature generation (the 29 feature families of the reference's
+# ConnectiveExtractor, discourse_parser.py:547-758) — fully deterministic
+# given a constituency tree; only the LR weights that CONSUME these are
+# absent in-sandbox.  `connective_feature_strings` emits the raw feature
+# values; `connective_feature_vector` reproduces the reference's
+# vocabulary-indexed sparse merge (Feature.get_feature_by_feat +
+# merge_features, discourse_parser.py:63-98) given the per-family vocab
+# dicts (loaded from a PDTB-style feats directory at deploy time).
+# ---------------------------------------------------------------------------
+
+_MAX_ATTEMPT = 10  # utils.py:48
+
+# (family name, kind): 'feat' = single vocab lookup, 'list' = multi lookup,
+# 'raw' = numeric passthrough of dimension 1 — in the reference's exact
+# merge order (discourse_parser.py:686-752)
+CONNECTIVE_FEATURE_FAMILIES = (
+    ("cpos", "feat"), ("prev_conn", "feat"), ("prevpos", "feat"),
+    ("prevpos_cpos", "feat"), ("conn_next", "feat"), ("nextpos", "feat"),
+    ("cpos_nextpos", "feat"), ("cparent_to_root_path", "feat"),
+    ("compressed_cparent_to_root_path", "feat"), ("self_category", "feat"),
+    ("parent_category", "feat"), ("left_category", "feat"),
+    ("right_category", "feat"), ("right_contains_VP", "raw"),
+    ("conn_self_category", "feat"), ("conn_parent_category", "feat"),
+    ("conn_left_category", "feat"), ("conn_right_category", "feat"),
+    ("self_category_parent_category", "feat"),
+    ("self_category_right_category", "feat"),
+    ("self_category_left_category", "feat"),
+    ("parent_category_left_category", "feat"),
+    ("parent_category_right_category", "feat"),
+    ("left_category_right_category", "feat"),
+    ("conn_lower", "feat"), ("conn", "feat"),
+    ("cparent_to_root_path_node_name", "list"),
+    ("conn_right_ctx", "feat"), ("conn_parent_ctx", "feat"),
+)
+
+
+def _compressed_path(path: str) -> str:
+    """Collapse consecutive duplicate labels (discourse_parser.py:392-405)."""
+    parts = path.split("-->")
+    out = []
+    for i in range(len(parts) - 1):
+        if parts[i] != parts[i + 1]:
+            out.append(parts[i])
+    if parts:
+        if out:
+            if parts[-1] != out[-1]:
+                out.append(parts[-1])
+        else:
+            out.append(parts[-1])
+    return "-->".join(out)
+
+
+def _adjacent_token(doc_parsed, sent_idx, idx, step):
+    """Previous (step=-1) / next (step=+1) token across sentence boundaries
+    (utils.py:407-470); returns (token, pos) or ("NONE", "NONE")."""
+    s, i = sent_idx, idx
+    for _ in range(_MAX_ATTEMPT):
+        if step < 0:
+            if i - 1 >= 0:
+                i -= 1
+            elif s - 1 >= 0:
+                s -= 1
+                i = len(doc_parsed[s]["tokens"]) - 1
+            else:
+                return "NONE", "NONE"
+        else:
+            if i + 1 < len(doc_parsed[s]["tokens"]):
+                i += 1
+            elif s + 1 < len(doc_parsed):
+                s += 1
+                i = 0
+            else:
+                return "NONE", "NONE"
+        return doc_parsed[s]["tokens"][i], doc_parsed[s]["pos_tags"][i]
+    return "NONE", "NONE"
+
+
+def connective_feature_strings(doc_parsed, sent_idx, indices, syntax_tree):
+    """Raw values for all 29 feature families of one connective candidate —
+    mirrors discourse_parser.py:547-758 exactly (incl. the NONE_TREE /
+    NULL / 'None' sentinel conventions and the ROOT parent default)."""
+    sp = doc_parsed[sent_idx]
+    conn = " ".join(sp["tokens"][i] for i in indices)
+    cpos = "_".join(sp["pos_tags"][i] for i in indices)
+    prev, prevpos = _adjacent_token(doc_parsed, sent_idx, indices[0], -1)
+    nxt, nextpos = _adjacent_token(doc_parsed, sent_idx, indices[-1], +1)
+
+    try:
+        paths = []
+        for i in indices:
+            leaf = syntax_tree.get_leaf_node_by_token_index(i)
+            paths.append(syntax_tree.get_node_path_to_root(leaf.up))
+        node_names = [n for p in paths for n in p.split("-->")]
+        cpath = "&".join(paths)
+        compressed = "&".join(_compressed_path(p) for p in paths)
+    except Exception:
+        node_names = ["NONE_TREE"]
+        cpath = "NONE_TREE"
+        compressed = "NONE_TREE"
+
+    try:
+        node = syntax_tree.get_self_category_node_by_token_indices(indices)
+        self_cat = node.name
+        parent = node.up
+        left = right = None
+        if parent is not None:
+            parent_cat = parent.name
+            children = parent.get_children()
+            for ci, child in enumerate(children):
+                if child is node:
+                    if ci > 0:
+                        left = children[ci - 1]
+                    if ci < len(children) - 1:
+                        right = children[ci + 1]
+            left_cat = left.name if left is not None else "NONE"
+            right_cat = right.name if right is not None else "NONE"
+        else:
+            parent_cat, left_cat, right_cat = "ROOT", "NONE", "NONE"
+
+        conn_ctx = "-".join([
+            node.name,
+            parent.name if parent is not None else "NULL",
+            left.name if left is not None else "NULL",
+            right.name if right is not None else "NULL",
+        ])
+        if parent is not None:
+            parent_ctx = "-".join(
+                [parent.name, parent.up.name if parent.up is not None else "NULL"]
+                + [c.name for c in parent.get_children()])
+        else:
+            parent_ctx = "None"
+        left_ctx = ("-".join([left.name, parent.name]
+                             + [c.name for c in left.get_children()])
+                    if left is not None else "None")
+        right_ctx = ("-".join([right.name, parent.name]
+                              + [c.name for c in right.get_children()])
+                     if right is not None else "None")
+
+        right_vp = False
+        if right is not None:
+            if right.name in ("VP", "S"):
+                right_vp = True
+            else:
+                right_vp = any(n.name in ("VP", "S")
+                               for n in right.get_descendants())
+    except Exception:
+        self_cat = parent_cat = left_cat = right_cat = "NONE_TREE"
+        conn_ctx = parent_ctx = left_ctx = right_ctx = "NONE_TREE"
+        right_vp = False
+
+    return {
+        "cpos": cpos,
+        "prev_conn": prev + "|" + conn,
+        "prevpos": prevpos,
+        "prevpos_cpos": prevpos + "|" + cpos,
+        "conn_next": conn + "|" + nxt,
+        "nextpos": nextpos,
+        "cpos_nextpos": cpos + "|" + nextpos,
+        "cparent_to_root_path": cpath,
+        "compressed_cparent_to_root_path": compressed,
+        "self_category": self_cat,
+        "parent_category": parent_cat,
+        "left_category": left_cat,
+        "right_category": right_cat,
+        "right_contains_VP": int(right_vp),
+        "conn_self_category": conn + "|" + self_cat,
+        "conn_parent_category": conn + "|" + parent_cat,
+        "conn_left_category": conn + "|" + left_cat,
+        "conn_right_category": conn + "|" + right_cat,
+        "self_category_parent_category": self_cat + "|" + parent_cat,
+        "self_category_right_category": self_cat + "|" + right_cat,
+        "self_category_left_category": self_cat + "|" + left_cat,
+        "parent_category_left_category": parent_cat + "|" + left_cat,
+        "parent_category_right_category": parent_cat + "|" + right_cat,
+        "left_category_right_category": left_cat + "|" + right_cat,
+        "conn_lower": conn.lower(),
+        "conn": conn,
+        "cparent_to_root_path_node_name": node_names,
+        "conn_right_ctx": conn + "|" + right_ctx,
+        "conn_parent_ctx": conn + "|" + parent_ctx,
+    }
+
+
+def connective_feature_vector(strings: dict, vocab: dict) -> tuple:
+    """(dimension, {global_index: value}) — the reference's sparse merge
+    (Feature.get_feature_by_feat/_list + merge_features) over per-family
+    vocab dicts {family: {string: local_index}}."""
+    feat = {}
+    offset = 0
+    for family, kind in CONNECTIVE_FEATURE_FAMILIES:
+        if kind == "raw":
+            feat[offset] = strings[family]
+            offset += 1
+            continue
+        v = vocab.get(family, {})
+        if kind == "feat":
+            idx = v.get(strings[family], -1)
+            if idx != -1:
+                feat[offset + idx] = 1
+        else:
+            for s in strings[family]:
+                idx = v.get(s, -1)
+                if idx != -1:
+                    feat[offset + idx] = 1
+        offset += len(v)
+    return offset, feat
+
+
 def _clause_slice(clause, tokens, lemmas, pos_tags, deps):
     """Remap one clause's parse slice to clause-local 0..k indices
     (eventuality_extractor.py:620-633)."""

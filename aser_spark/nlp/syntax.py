@@ -60,6 +60,11 @@ class SyntaxNode:
         """Leaves in left-to-right (document) order, as ete3 returns them."""
         return [n for n in self._preorder() if n.is_leaf()]
 
+    def get_descendants(self):
+        """All nodes strictly below this one (ete3 surface)."""
+        out = list(self._preorder())
+        return out[1:]
+
 
 def _tokenize_ptb(s: str):
     out, cur = [], []

@@ -1,0 +1,95 @@
+"""DEV-ONLY: diff our D2 feature generation (the 29 connective feature
+families) against the reference's _generate_connective_features, run over
+identical parses and OUR SyntaxTree (duck-typed into its syntax_tree_cache;
+the tree itself is parity-tested separately via get_clauses), with the
+reference's real per-family vocab files loaded.  Compares the final merged
+sparse vectors (dimension + index->value dict) bit-for-bit, then freezes
+raw feature-STRING fixtures the committed pytest suite checks without the
+reference.
+
+Usage: python scripts/freeze_connective_features.py [n_convs] [--freeze]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+from validate_helpers import load_reference_connective_extractor  # noqa: E402
+
+
+def main():
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 120
+    freeze = "--freeze" in sys.argv
+
+    ce = load_reference_connective_extractor()
+    from aser_spark.datagen.transcripts import gen_conversation_rows
+    from aser_spark.kernel.discourse import (CONNECTIVE_FEATURE_FAMILIES,
+                                             connective_feature_strings,
+                                             connective_feature_vector)
+    from aser_spark.nlp import parse_text
+    from aser_spark.nlp.syntax import SyntaxTree
+
+    vocab = {fam: getattr(ce, fam + "_dict")
+             for fam, kind in CONNECTIVE_FEATURE_FAMILIES if kind != "raw"}
+
+    hand = [
+        "the dog barked because the cat slept.",
+        "for example a bird crashed, but the team waited.",
+        "either the manager reviewed the report or the user closed the ticket.",
+        "i was happy when the test passed.",
+    ]
+    n_conn = n_bad = 0
+    fixtures = []
+    docs = [hand]
+    for ci in range(n_convs):
+        docs.append([r[3] for r in gen_conversation_rows(42, ci)])
+    for texts in docs:
+        parsed = []
+        for t in texts:
+            parsed.extend(parse_text(t))
+        cache = {i: SyntaxTree(p["parse"]) for i, p in enumerate(parsed)}
+        doc_conns = []
+        for si, sp in enumerate(parsed):
+            for c in ce._extract_connectives(sp):
+                c["sent_idx"] = si
+                doc_conns.append(c)
+        if not doc_conns:
+            continue
+        ref_feats = ce._generate_connective_features(parsed, doc_conns, cache)
+        for conn, ref in zip(doc_conns, ref_feats):
+            strings = connective_feature_strings(
+                parsed, conn["sent_idx"], conn["indices"], cache[conn["sent_idx"]])
+            dim, fd = connective_feature_vector(strings, vocab)
+            n_conn += 1
+            if dim != ref.dimension or fd != ref.feat_dict:
+                n_bad += 1
+                if n_bad <= 3:
+                    print(f"MISMATCH conn={conn['connective']}: "
+                          f"dim {dim} vs {ref.dimension}; "
+                          f"extra={set(fd) - set(ref.feat_dict)} "
+                          f"missing={set(ref.feat_dict) - set(fd)}")
+            fixtures.append({
+                "doc_texts": texts,
+                "sent_idx": conn["sent_idx"],
+                "indices": conn["indices"],
+                "strings": strings,
+            })
+
+    print(f"{n_conn} connectives | mismatching vectors: {n_bad}")
+    if freeze:
+        out = REPO / "fixtures" / "golden_connective_features.jsonl"
+        with out.open("w") as f:
+            for row in fixtures[:2000]:
+                f.write(json.dumps(row) + "\n")
+        print(f"froze {min(len(fixtures), 2000)} -> {out}")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,3 +59,38 @@ def load_reference_modules():
         "conn_scan": ce._extract_connectives_by_tokens,
         "get_clauses": get_clauses,
     }
+
+
+_CONN_FEAT_FAMILIES = [
+    "cpos", "prev_conn", "prevpos", "prevpos_cpos", "conn_next", "nextpos",
+    "cpos_nextpos", "cparent_to_root_path", "compressed_cparent_to_root_path",
+    "self_category", "parent_category", "left_category", "right_category",
+    "conn_self_category", "conn_parent_category", "conn_left_category",
+    "conn_right_category", "self_category_parent_category",
+    "self_category_right_category", "self_category_left_category",
+    "parent_category_left_category", "parent_category_right_category",
+    "left_category_right_category", "conn_lower", "conn",
+    "cparent_to_root_path_node_name", "conn_right_ctx", "conn_parent_ctx",
+]
+
+
+def load_reference_connective_extractor():
+    """ConnectiveExtractor via __new__ with sorted_conn + all 28 per-family
+    vocab dicts loaded from the reference's conn_feats files — everything
+    _generate_connective_features needs, no pickles."""
+    load_reference_modules()  # installs stubs + sys.path
+    from aser.extract.discourse_parser import ConnectiveExtractor
+
+    base = Path("/root/reference/aser/extract/discourse/conn_feats")
+    ce = ConnectiveExtractor.__new__(ConnectiveExtractor)
+    ce.sorted_conn = sorted(
+        line.rstrip() for line in (base / "exp_conn.txt").read_text().splitlines()
+        if line.rstrip())
+    for feat in _CONN_FEAT_FAMILIES:
+        d = {}
+        for idx, line in enumerate((base / f"{feat}.txt").read_text().splitlines()):
+            line = line.rstrip()
+            if line:
+                d[line] = idx
+        setattr(ce, feat + "_dict", d)
+    return ce

@@ -447,13 +447,13 @@ def connective_feature_strings(doc_parsed, sent_idx, indices, syntax_tree):
     }
 
 
-def connective_feature_vector(strings: dict, vocab: dict) -> tuple:
+def merge_feature_vector(strings: dict, vocab: dict, families) -> tuple:
     """(dimension, {global_index: value}) — the reference's sparse merge
     (Feature.get_feature_by_feat/_list + merge_features) over per-family
     vocab dicts {family: {string: local_index}}."""
     feat = {}
     offset = 0
-    for family, kind in CONNECTIVE_FEATURE_FAMILIES:
+    for family, kind in families:
         if kind == "raw":
             feat[offset] = strings[family]
             offset += 1
@@ -470,6 +470,94 @@ def connective_feature_vector(strings: dict, vocab: dict) -> tuple:
                     feat[offset + idx] = 1
         offset += len(v)
     return offset, feat
+
+
+def connective_feature_vector(strings: dict, vocab: dict) -> tuple:
+    return merge_feature_vector(strings, vocab, CONNECTIVE_FEATURE_FAMILIES)
+
+
+# D3 ArgumentPositionClassifier feature families
+# (discourse_parser.py:812-915) — SS-vs-PS featurizer; the LR model that
+# consumes them is pickled (absent in-sandbox)
+ARGPOS_FEATURE_FAMILIES = (
+    ("conn", "feat"), ("conn_part", "feat"), ("cpos", "feat"),
+    ("prev1", "feat"), ("prev1pos", "feat"), ("prev1_conn", "feat"),
+    ("prev1pos_cpos", "feat"), ("prev2", "feat"), ("prev2pos", "feat"),
+    ("prev2_conn", "feat"), ("prev2pos_cpos", "feat"),
+    ("next1pos_cpos", "feat"), ("next2", "feat"),
+    ("conn_to_root_path", "feat"),
+)
+
+
+def _adjacent2(doc_parsed, sent_idx, idx, step):
+    """Two steps of prev/next with sentence-boundary crossing, returning
+    ((tok1, pos1), (tok2, pos2)) with NONE sentinels — mirrors the nested
+    get_prev/next_token_index chains (discourse_parser.py:836-880)."""
+    s, i = sent_idx, idx
+    out = []
+    for _ in range(2):
+        if step < 0:
+            if i - 1 >= 0:
+                i -= 1
+            elif s - 1 >= 0:
+                s -= 1
+                i = len(doc_parsed[s]["tokens"]) - 1
+            else:
+                out.append(("NONE", "NONE"))
+                break
+        else:
+            if i + 1 < len(doc_parsed[s]["tokens"]):
+                i += 1
+            elif s + 1 < len(doc_parsed):
+                s += 1
+                i = 0
+            else:
+                out.append(("NONE", "NONE"))
+                break
+        out.append((doc_parsed[s]["tokens"][i], doc_parsed[s]["pos_tags"][i]))
+    while len(out) < 2:
+        out.append(("NONE", "NONE"))
+    return out[0], out[1]
+
+
+def argument_position_feature_strings(doc_parsed, sent_idx, indices,
+                                      syntax_tree):
+    """Raw values for the 14 D3 families (discourse_parser.py:812-915):
+    connective position bucket, two-token lexical context either side, and
+    the leaf-to-root constituency paths."""
+    sp = doc_parsed[sent_idx]
+    sent_len = len(sp["tokens"])
+    conn = " ".join(sp["tokens"][i] for i in indices)
+    cpos = "_".join(sp["pos_tags"][i] for i in indices)
+    conn_part = "middle"
+    if indices[0] / sent_len <= 0.2:
+        conn_part = "start"
+    elif indices[0] / sent_len >= 0.8:
+        conn_part = "end"
+    (prev1, prev1pos), (prev2, prev2pos) = _adjacent2(
+        doc_parsed, sent_idx, indices[0], -1)
+    (next1, next1pos), (next2, next2pos) = _adjacent2(
+        doc_parsed, sent_idx, indices[-1], +1)
+    try:
+        paths = []
+        for i in indices:
+            leaf = syntax_tree.get_leaf_node_by_token_index(i)
+            paths.append(syntax_tree.get_node_path_to_root(leaf))
+        conn_to_root_path = "&".join(paths)
+    except Exception:
+        conn_to_root_path = "NONE_TREE"
+    return {
+        "conn": conn, "conn_part": conn_part, "cpos": cpos,
+        "prev1": prev1, "prev1pos": prev1pos,
+        "prev1_conn": prev1 + "|" + conn,
+        "prev1pos_cpos": prev1pos + "|" + cpos,
+        "prev2": prev2, "prev2pos": prev2pos,
+        "prev2_conn": prev2 + "|" + conn,
+        "prev2pos_cpos": prev2pos + "|" + cpos,
+        "next1pos_cpos": cpos + "|" + next1pos,
+        "next2": next2,
+        "conn_to_root_path": conn_to_root_path,
+    }
 
 
 def _clause_slice(clause, tokens, lemmas, pos_tags, deps):

@@ -20,7 +20,8 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "scripts"))
 
-from validate_helpers import load_reference_connective_extractor  # noqa: E402
+from validate_helpers import (load_reference_argpos_classifier,  # noqa: E402
+                              load_reference_connective_extractor)
 
 
 def main():
@@ -28,15 +29,21 @@ def main():
     freeze = "--freeze" in sys.argv
 
     ce = load_reference_connective_extractor()
+    ac = load_reference_argpos_classifier()
     from aser_spark.datagen.transcripts import gen_conversation_rows
-    from aser_spark.kernel.discourse import (CONNECTIVE_FEATURE_FAMILIES,
+    from aser_spark.kernel.discourse import (ARGPOS_FEATURE_FAMILIES,
+                                             CONNECTIVE_FEATURE_FAMILIES,
+                                             argument_position_feature_strings,
                                              connective_feature_strings,
-                                             connective_feature_vector)
+                                             connective_feature_vector,
+                                             merge_feature_vector)
     from aser_spark.nlp import parse_text
     from aser_spark.nlp.syntax import SyntaxTree
 
     vocab = {fam: getattr(ce, fam + "_dict")
              for fam, kind in CONNECTIVE_FEATURE_FAMILIES if kind != "raw"}
+    ap_vocab = {fam: getattr(ac, fam + "_dict")
+                for fam, _ in ARGPOS_FEATURE_FAMILIES}
 
     hand = [
         "the dog barked because the cat slept.",
@@ -62,23 +69,36 @@ def main():
         if not doc_conns:
             continue
         ref_feats = ce._generate_connective_features(parsed, doc_conns, cache)
-        for conn, ref in zip(doc_conns, ref_feats):
+        ref_ap = ac._generate_argument_position_features(parsed, doc_conns, cache)
+        for conn, ref, refp in zip(doc_conns, ref_feats, ref_ap):
             strings = connective_feature_strings(
                 parsed, conn["sent_idx"], conn["indices"], cache[conn["sent_idx"]])
             dim, fd = connective_feature_vector(strings, vocab)
+            ap_strings = argument_position_feature_strings(
+                parsed, conn["sent_idx"], conn["indices"], cache[conn["sent_idx"]])
+            ap_dim, ap_fd = merge_feature_vector(ap_strings, ap_vocab,
+                                                 ARGPOS_FEATURE_FAMILIES)
             n_conn += 1
             if dim != ref.dimension or fd != ref.feat_dict:
                 n_bad += 1
                 if n_bad <= 3:
-                    print(f"MISMATCH conn={conn['connective']}: "
+                    print(f"D2 MISMATCH conn={conn['connective']}: "
                           f"dim {dim} vs {ref.dimension}; "
                           f"extra={set(fd) - set(ref.feat_dict)} "
                           f"missing={set(ref.feat_dict) - set(fd)}")
+            if ap_dim != refp.dimension or ap_fd != refp.feat_dict:
+                n_bad += 1
+                if n_bad <= 6:
+                    print(f"D3 MISMATCH conn={conn['connective']}: "
+                          f"dim {ap_dim} vs {refp.dimension}; "
+                          f"extra={set(ap_fd) - set(refp.feat_dict)} "
+                          f"missing={set(refp.feat_dict) - set(ap_fd)}")
             fixtures.append({
                 "doc_texts": texts,
                 "sent_idx": conn["sent_idx"],
                 "indices": conn["indices"],
                 "strings": strings,
+                "argpos_strings": ap_strings,
             })
 
     print(f"{n_conn} connectives | mismatching vectors: {n_bad}")

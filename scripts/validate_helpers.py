@@ -94,3 +94,25 @@ def load_reference_connective_extractor():
                 d[line] = idx
         setattr(ce, feat + "_dict", d)
     return ce
+
+
+def load_reference_argpos_classifier():
+    """ArgumentPositionClassifier via __new__ with its vocab dicts loaded
+    (no pickle) — enough to run _generate_argument_position_features."""
+    load_reference_modules()
+    from aser.extract.discourse_parser import ArgumentPositionClassifier
+
+    base = Path("/root/reference/aser/extract/discourse/argpos_feats")
+    ac = ArgumentPositionClassifier.__new__(ArgumentPositionClassifier)
+    ac.conn_part_dict = {"start": 0, "middle": 1, "end": 2}
+    for feat in ("conn", "cpos", "prev1", "prev1pos", "prev1_conn",
+                 "prev1pos_cpos", "prev2", "prev2pos", "prev2_conn",
+                 "prev2pos_cpos", "next1pos_cpos", "next2",
+                 "conn_to_root_path"):
+        d = {}
+        for idx, line in enumerate((base / f"{feat}.txt").read_text().splitlines()):
+            line = line.rstrip()
+            if line:
+                d[line] = idx
+        setattr(ac, feat + "_dict", d)
+    return ac

@@ -191,7 +191,8 @@ def test_golden_connective_features():
     import json
     from pathlib import Path
 
-    from aser_spark.kernel.discourse import connective_feature_strings
+    from aser_spark.kernel.discourse import (
+        argument_position_feature_strings, connective_feature_strings)
     from aser_spark.nlp import parse_text
     from aser_spark.nlp.syntax import SyntaxTree
 
@@ -213,5 +214,8 @@ def test_golden_connective_features():
             got = connective_feature_strings(
                 parsed, row["sent_idx"], row["indices"], trees[row["sent_idx"]])
             assert got == row["strings"], (row["sent_idx"], row["indices"])
+            got_ap = argument_position_feature_strings(
+                parsed, row["sent_idx"], row["indices"], trees[row["sent_idx"]])
+            assert got_ap == row["argpos_strings"]
             n += 1
     assert n >= 1500

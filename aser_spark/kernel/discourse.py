@@ -560,6 +560,113 @@ def argument_position_feature_strings(doc_parsed, sent_idx, indices,
     }
 
 
+# D6 ExplicitSenseClassifier feature families
+# (discourse_parser.py:1830-1999) — 23 families over connective + Pitler
+# categories + the as/when previous-connective quirks; the softmax model
+# that consumes them is pickled (absent in-sandbox; CONNECTIVE_SENSES is
+# the deterministic stand-in)
+EXPLICIT_FEATURE_FAMILIES = (
+    ("conn", "feat"), ("cpos", "feat"), ("prev_conn", "feat"),
+    ("conn_lower", "feat"), ("self_category", "feat"),
+    ("parent_category", "feat"), ("left_category", "feat"),
+    ("right_category", "feat"), ("conn_lower_self_category", "feat"),
+    ("conn_lower_parent_category", "feat"),
+    ("conn_lower_left_category", "feat"),
+    ("conn_lower_right_category", "feat"),
+    ("self_category_parent_category", "feat"),
+    ("self_category_right_category", "feat"),
+    ("self_category_left_category", "feat"),
+    ("parent_category_left_category", "feat"),
+    ("parent_category_right_category", "feat"),
+    ("left_category_right_category", "feat"),
+    ("conn_parent_ctx", "feat"), ("as_prev_conn", "feat"),
+    ("as_prev_cpos", "feat"), ("when_prev_conn", "feat"),
+    ("when_prev_cpos", "feat"),
+)
+
+
+def _pitler_categories(indices, syntax_tree):
+    """(self, parent, left, right, parent_ctx) with the reference's
+    sentinel conventions; shared by the D2/D6 feature generators."""
+    node = syntax_tree.get_self_category_node_by_token_indices(indices)
+    self_cat = node.name
+    parent = node.up
+    left = right = None
+    if parent is not None:
+        parent_cat = parent.name
+        children = parent.get_children()
+        for ci, child in enumerate(children):
+            if child is node:
+                if ci > 0:
+                    left = children[ci - 1]
+                if ci < len(children) - 1:
+                    right = children[ci + 1]
+        left_cat = left.name if left is not None else "NONE"
+        right_cat = right.name if right is not None else "NONE"
+        parent_ctx = "-".join(
+            [parent.name, parent.up.name if parent.up is not None else "NULL"]
+            + [c.name for c in parent.get_children()])
+    else:
+        parent_cat, left_cat, right_cat = "ROOT", "NONE", "NONE"
+        parent_ctx = "None"
+    return self_cat, parent_cat, left_cat, right_cat, parent_ctx
+
+
+def _prev_conn_quirk(sp, indices, word):
+    """The reference's as/when previous-connective features
+    (discourse_parser.py:1898-1928): connective string of the LAST
+    candidate before the connective, pos string of the FIRST candidate's
+    indices — quirk preserved."""
+    conn = " ".join(sp["tokens"][i] for i in indices)
+    if conn != word:
+        return f"NOT_{word}", f"NOT_{word}"
+    prev_tokens = [sp["tokens"][i] for i in range(0, indices[0])]
+    cands = sorted(extract_connective_candidates(prev_tokens),
+                   key=lambda x: x["indices"][-1])
+    if not cands:
+        return "NULL", "NULL"
+    prev_conn = cands[-1]["connective"]
+    prev_cpos = " ".join(sp["pos_tags"][i] for i in cands[0]["indices"])
+    return prev_conn, prev_cpos
+
+
+def explicit_sense_feature_strings(doc_parsed, sent_idx, indices,
+                                   syntax_tree):
+    """Raw values for the 23 D6 families (discourse_parser.py:1830-1999)."""
+    sp = doc_parsed[sent_idx]
+    conn = " ".join(sp["tokens"][i] for i in indices)
+    conn_lower = conn.lower()
+    cpos = "_".join(sp["pos_tags"][i] for i in indices)
+    prev, _ = _adjacent_token(doc_parsed, sent_idx, indices[0], -1)
+    try:
+        self_cat, parent_cat, left_cat, right_cat, parent_ctx = \
+            _pitler_categories(indices, syntax_tree)
+    except Exception:
+        self_cat = parent_cat = left_cat = right_cat = "NONE_TREE"
+        parent_ctx = "NONE_TREE"
+    as_prev_conn, as_prev_cpos = _prev_conn_quirk(sp, indices, "as")
+    when_prev_conn, when_prev_cpos = _prev_conn_quirk(sp, indices, "when")
+    return {
+        "conn": conn, "cpos": cpos, "prev_conn": prev + "|" + conn,
+        "conn_lower": conn_lower,
+        "self_category": self_cat, "parent_category": parent_cat,
+        "left_category": left_cat, "right_category": right_cat,
+        "conn_lower_self_category": conn_lower + "|" + self_cat,
+        "conn_lower_parent_category": conn_lower + "|" + parent_cat,
+        "conn_lower_left_category": conn_lower + "|" + left_cat,
+        "conn_lower_right_category": conn_lower + "|" + right_cat,
+        "self_category_parent_category": self_cat + "|" + parent_cat,
+        "self_category_right_category": self_cat + "|" + right_cat,
+        "self_category_left_category": self_cat + "|" + left_cat,
+        "parent_category_left_category": parent_cat + "|" + left_cat,
+        "parent_category_right_category": parent_cat + "|" + right_cat,
+        "left_category_right_category": left_cat + "|" + right_cat,
+        "conn_parent_ctx": conn + "|" + parent_ctx,
+        "as_prev_conn": as_prev_conn, "as_prev_cpos": as_prev_cpos,
+        "when_prev_conn": when_prev_conn, "when_prev_cpos": when_prev_cpos,
+    }
+
+
 def _clause_slice(clause, tokens, lemmas, pos_tags, deps):
     """Remap one clause's parse slice to clause-local 0..k indices
     (eventuality_extractor.py:620-633)."""

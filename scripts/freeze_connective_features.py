@@ -21,7 +21,8 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "scripts"))
 
 from validate_helpers import (load_reference_argpos_classifier,  # noqa: E402
-                              load_reference_connective_extractor)
+                              load_reference_connective_extractor,
+                              load_reference_explicit_classifier)
 
 
 def main():
@@ -30,12 +31,15 @@ def main():
 
     ce = load_reference_connective_extractor()
     ac = load_reference_argpos_classifier()
+    ec = load_reference_explicit_classifier()
     from aser_spark.datagen.transcripts import gen_conversation_rows
     from aser_spark.kernel.discourse import (ARGPOS_FEATURE_FAMILIES,
                                              CONNECTIVE_FEATURE_FAMILIES,
+                                             EXPLICIT_FEATURE_FAMILIES,
                                              argument_position_feature_strings,
                                              connective_feature_strings,
                                              connective_feature_vector,
+                                             explicit_sense_feature_strings,
                                              merge_feature_vector)
     from aser_spark.nlp import parse_text
     from aser_spark.nlp.syntax import SyntaxTree
@@ -44,6 +48,8 @@ def main():
              for fam, kind in CONNECTIVE_FEATURE_FAMILIES if kind != "raw"}
     ap_vocab = {fam: getattr(ac, fam + "_dict")
                 for fam, _ in ARGPOS_FEATURE_FAMILIES}
+    ex_vocab = {fam: getattr(ec, fam + "_dict")
+                for fam, _ in EXPLICIT_FEATURE_FAMILIES}
 
     hand = [
         "the dog barked because the cat slept.",
@@ -70,7 +76,8 @@ def main():
             continue
         ref_feats = ce._generate_connective_features(parsed, doc_conns, cache)
         ref_ap = ac._generate_argument_position_features(parsed, doc_conns, cache)
-        for conn, ref, refp in zip(doc_conns, ref_feats, ref_ap):
+        ref_ex = ec._generate_explicit_features(parsed, doc_conns, cache)
+        for conn, ref, refp, refe in zip(doc_conns, ref_feats, ref_ap, ref_ex):
             strings = connective_feature_strings(
                 parsed, conn["sent_idx"], conn["indices"], cache[conn["sent_idx"]])
             dim, fd = connective_feature_vector(strings, vocab)
@@ -78,6 +85,10 @@ def main():
                 parsed, conn["sent_idx"], conn["indices"], cache[conn["sent_idx"]])
             ap_dim, ap_fd = merge_feature_vector(ap_strings, ap_vocab,
                                                  ARGPOS_FEATURE_FAMILIES)
+            ex_strings = explicit_sense_feature_strings(
+                parsed, conn["sent_idx"], conn["indices"], cache[conn["sent_idx"]])
+            ex_dim, ex_fd = merge_feature_vector(ex_strings, ex_vocab,
+                                                 EXPLICIT_FEATURE_FAMILIES)
             n_conn += 1
             if dim != ref.dimension or fd != ref.feat_dict:
                 n_bad += 1
@@ -86,6 +97,13 @@ def main():
                           f"dim {dim} vs {ref.dimension}; "
                           f"extra={set(fd) - set(ref.feat_dict)} "
                           f"missing={set(ref.feat_dict) - set(fd)}")
+            if ex_dim != refe.dimension or ex_fd != refe.feat_dict:
+                n_bad += 1
+                if n_bad <= 9:
+                    print(f"D6 MISMATCH conn={conn['connective']}: "
+                          f"dim {ex_dim} vs {refe.dimension}; "
+                          f"extra={set(ex_fd) - set(refe.feat_dict)} "
+                          f"missing={set(refe.feat_dict) - set(ex_fd)}")
             if ap_dim != refp.dimension or ap_fd != refp.feat_dict:
                 n_bad += 1
                 if n_bad <= 6:
@@ -99,6 +117,7 @@ def main():
                 "indices": conn["indices"],
                 "strings": strings,
                 "argpos_strings": ap_strings,
+                "explicit_strings": ex_strings,
             })
 
     print(f"{n_conn} connectives | mismatching vectors: {n_bad}")

@@ -96,6 +96,36 @@ def load_reference_connective_extractor():
     return ce
 
 
+def load_reference_explicit_classifier():
+    """ExplicitSenseClassifier via __new__ with its vocab dicts +
+    sorted_conn loaded (no pickle) — enough for
+    _generate_explicit_features."""
+    load_reference_modules()
+    from aser.extract.discourse_parser import ExplicitSenseClassifier
+
+    base = Path("/root/reference/aser/extract/discourse/explicit_feats")
+    ec = ExplicitSenseClassifier.__new__(ExplicitSenseClassifier)
+    ec.sorted_conn = sorted(
+        line.rstrip() for line in (base / "exp_conn.txt").read_text().splitlines()
+        if line.rstrip())
+    for feat in ("conn", "cpos", "prev_conn", "conn_lower", "self_category",
+                 "parent_category", "left_category", "right_category",
+                 "conn_lower_self_category", "conn_lower_parent_category",
+                 "conn_lower_left_category", "conn_lower_right_category",
+                 "self_category_parent_category", "self_category_right_category",
+                 "self_category_left_category", "parent_category_left_category",
+                 "parent_category_right_category", "left_category_right_category",
+                 "conn_parent_ctx", "as_prev_conn", "as_prev_cpos",
+                 "when_prev_conn", "when_prev_cpos"):
+        d = {}
+        for idx, line in enumerate((base / f"{feat}.txt").read_text().splitlines()):
+            line = line.rstrip()
+            if line:
+                d[line] = idx
+        setattr(ec, feat + "_dict", d)
+    return ec
+
+
 def load_reference_argpos_classifier():
     """ArgumentPositionClassifier via __new__ with its vocab dicts loaded
     (no pickle) — enough to run _generate_argument_position_features."""

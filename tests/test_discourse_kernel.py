@@ -192,7 +192,8 @@ def test_golden_connective_features():
     from pathlib import Path
 
     from aser_spark.kernel.discourse import (
-        argument_position_feature_strings, connective_feature_strings)
+        argument_position_feature_strings, connective_feature_strings,
+        explicit_sense_feature_strings)
     from aser_spark.nlp import parse_text
     from aser_spark.nlp.syntax import SyntaxTree
 
@@ -217,5 +218,8 @@ def test_golden_connective_features():
             got_ap = argument_position_feature_strings(
                 parsed, row["sent_idx"], row["indices"], trees[row["sent_idx"]])
             assert got_ap == row["argpos_strings"]
+            got_ex = explicit_sense_feature_strings(
+                parsed, row["sent_idx"], row["indices"], trees[row["sent_idx"]])
+            assert got_ex == row["explicit_strings"]
             n += 1
     assert n >= 1500

@@ -183,6 +183,31 @@ def match_argument_eventuality(arg_indices, eventuality, method: str = "Simpson"
     return inter / denom >= threshold
 
 
+def parallel_connective_args(tokens, indices):
+    """D4's PARALLEL path for discontinuous connectives (either..or):
+    arg1 = the span between the two connective parts, arg2 = the span after
+    the second part, both punctuation-stripped — mirrors
+    SSArgumentExtractor._get_parallel_clauses (discourse_parser.py:1110-1137)
+    EXACTLY, including its quirk of seeding arg1's start from the list
+    POSITION of the gap (not the token index); for the dominant
+    sentence-initial either..or case the two coincide."""
+    from .clauses import strip_punctuations
+
+    conn_idx1 = conn_idx2 = indices[-1]
+    for k in range(len(indices) - 1):
+        if indices[k] + 1 < indices[k + 1]:
+            conn_idx1 = k
+            break
+    arg1 = strip_punctuations(tokens, list(range(conn_idx1 + 1, conn_idx2)))
+    arg2 = strip_punctuations(tokens, list(range(conn_idx2 + 1, len(tokens))))
+    out = []
+    if arg1:
+        out.append(arg1)
+    if arg2:
+        out.append(arg2)
+    return out
+
+
 def extract_ss_discourse_relations(tokens, eventualities, syntax_tree=None,
                                    method: str = "Simpson",
                                    threshold: float = 0.8):
@@ -206,19 +231,28 @@ def extract_ss_discourse_relations(tokens, eventualities, syntax_tree=None,
         if sense is None:
             continue
         start = c["indices"][0]
-        before = [cl for cl in clauses if cl and max(cl) < start]
-        after = sorted([cl for cl in clauses if cl and min(cl) > start],
-                       key=lambda cl: min(cl))
-        if before and after:
-            # medial connective: "P because Q" -> arg1 = P, arg2 = Q
-            arg1 = max(before, key=lambda cl: max(cl))
-            arg2 = after[0]
-        elif not before and len(after) >= 2:
-            # sentence-INITIAL subordinator: "because Q, P" -> PDTB order
-            # arg2 = the clause right after the connective, arg1 = the next
-            arg2, arg1 = after[0], after[1]
+        discontinuous = any(c["indices"][k] + 1 < c["indices"][k + 1]
+                            for k in range(len(c["indices"]) - 1))
+        if discontinuous:
+            # D4 parallel path: either..or / if..then argument spans
+            args = parallel_connective_args(tokens, c["indices"])
+            if len(args) != 2:
+                continue
+            arg1, arg2 = args
         else:
-            continue
+            before = [cl for cl in clauses if cl and max(cl) < start]
+            after = sorted([cl for cl in clauses if cl and min(cl) > start],
+                           key=lambda cl: min(cl))
+            if before and after:
+                # medial connective: "P because Q" -> arg1 = P, arg2 = Q
+                arg1 = max(before, key=lambda cl: max(cl))
+                arg2 = after[0]
+            elif not before and len(after) >= 2:
+                # sentence-INITIAL subordinator: "because Q, P" -> PDTB
+                # order: arg2 = the clause after the connective, arg1 = next
+                arg2, arg1 = after[0], after[1]
+            else:
+                continue
         e1s = [e for e in eventualities
                if match_argument_eventuality(arg1, e, method, threshold)]
         e2s = [e for e in eventualities

@@ -223,3 +223,26 @@ def test_golden_connective_features():
             assert got_ex == row["explicit_strings"]
             n += 1
     assert n >= 1500
+
+
+def test_parallel_connective_args_either_or():
+    """D4 parallel path: discontinuous connectives get span-based args
+    (parity-verified vs SSArgumentExtractor._get_parallel_clauses at dev
+    time); either..or produces an Alternative relation end-to-end."""
+    from aser_spark.kernel.discourse import (
+        extract_sentence_eventualities_discourse,
+        extract_ss_discourse_relations, parallel_connective_args)
+    from aser_spark.nlp import parse_sentence
+    from aser_spark.nlp.syntax import SyntaxTree
+
+    toks = "either the dog barked or the cat slept .".split()
+    assert parallel_connective_args(toks, [0, 4]) == [[1, 2, 3], [5, 6, 7]]
+
+    p = parse_sentence("either the dog barked or the cat slept.")
+    tree = SyntaxTree(p["parse"])
+    evs = extract_sentence_eventualities_discourse(
+        p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"], tree)
+    m = {e["eid"]: " ".join(e["words"]) for e in evs}
+    rels = [(m[h], m[t], s) for h, t, s, w in
+            extract_ss_discourse_relations(p["tokens"], evs, tree)]
+    assert ("the dog bark", "the cat sleep", "Alternative") in rels

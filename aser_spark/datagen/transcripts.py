@@ -180,6 +180,17 @@ def _sentence(rng):
         b = _simple_clause(rng)
         conn = rng.choice(_INTRA_CONNECTIVES)
         return f"{a} {conn} {b}."
+    if r < 0.59:  # paired connective (D4 parallel path)
+        pair = rng.choice((("either", "or"), ("if", "then")))
+        return f"{pair[0]} {_simple_clause(rng)} {pair[1]} {_simple_clause(rng)}."
+    if r < 0.63:  # comma parataxis (two clauses, no connective)
+        return f"{_simple_clause(rng)}, {_simple_clause(rng)}."
+    if r < 0.67:  # sentence-initial subordinator (PDTB arg swap path)
+        conn = rng.choice(_INTRA_CONNECTIVES)
+        return f"{conn} {_simple_clause(rng)}, {_simple_clause(rng)}."
+    if r < 0.71:  # contraction + adjective-complement clause (ccomp)
+        subj, be = rng.choice((("i", "'m"), ("you", "'re"), ("it", "'s"), ("we", "'re")))
+        return f"{subj}{be} sure {_simple_clause(rng)}."
     return _simple_clause(rng) + "."
 
 

@@ -183,6 +183,220 @@ def match_argument_eventuality(arg_indices, eventuality, method: str = "Simpson"
     return inter / denom >= threshold
 
 
+# PDTB syntactic category per explicit connective (public PDTB data;
+# the reference ships it as discourse/feats/conn_category.txt)
+CONNECTIVE_CATEGORIES = {
+    "accordingly": "adverbial",
+    "additionally": "adverbial",
+    "afterward": "adverbial",
+    "also": "adverbial",
+    "alternatively": "adverbial",
+    "as a result": "adverbial",
+    "as an alternative": "adverbial",
+    "as well": "adverbial",
+    "besides": "adverbial",
+    "by comparison": "adverbial",
+    "by contrast": "adverbial",
+    "consequently": "adverbial",
+    "conversely": "adverbial",
+    "earlier": "adverbial",
+    "either or": "adverbial",
+    "except": "adverbial",
+    "finally": "adverbial",
+    "for example": "adverbial",
+    "for instance": "adverbial",
+    "further": "adverbial",
+    "furthermore": "adverbial",
+    "hence": "adverbial",
+    "in addition": "adverbial",
+    "in contrast": "adverbial",
+    "in fact": "adverbial",
+    "in other words": "adverbial",
+    "in particular": "adverbial",
+    "in short": "adverbial",
+    "in sum": "adverbial",
+    "in the end": "adverbial",
+    "in turn": "adverbial",
+    "indeed": "adverbial",
+    "instead": "adverbial",
+    "later": "adverbial",
+    "likewise": "adverbial",
+    "meantime": "adverbial",
+    "meanwhile": "adverbial",
+    "moreover": "adverbial",
+    "nevertheless": "adverbial",
+    "next": "adverbial",
+    "nonetheless": "adverbial",
+    "on the contrary": "adverbial",
+    "on the other hand": "adverbial",
+    "otherwise": "adverbial",
+    "overall": "adverbial",
+    "previously": "adverbial",
+    "rather": "adverbial",
+    "regardless": "adverbial",
+    "separately": "adverbial",
+    "similarly": "adverbial",
+    "simultaneously": "adverbial",
+    "specifically": "adverbial",
+    "still": "adverbial",
+    "thereafter": "adverbial",
+    "thereby": "adverbial",
+    "therefore": "adverbial",
+    "thus": "adverbial",
+    "ultimately": "adverbial",
+    "whereas": "adverbial",
+    "by then": "adverbial",
+    "and": "coordinator",
+    "but": "coordinator",
+    "else": "coordinator",
+    "if then": "coordinator",
+    "neither nor": "coordinator",
+    "nor": "coordinator",
+    "on the one hand on the other hand": "coordinator",
+    "or": "coordinator",
+    "plus": "coordinator",
+    "then": "coordinator",
+    "yet": "coordinator",
+    "after": "subordinator",
+    "although": "subordinator",
+    "as": "subordinator",
+    "as if": "subordinator",
+    "as long as": "subordinator",
+    "as soon as": "subordinator",
+    "as though": "subordinator",
+    "because": "subordinator",
+    "before": "subordinator",
+    "before and after": "subordinator",
+    "for": "subordinator",
+    "however": "subordinator",
+    "if": "subordinator",
+    "if and when": "subordinator",
+    "insofar as": "subordinator",
+    "lest": "subordinator",
+    "much as": "subordinator",
+    "now that": "subordinator",
+    "once": "subordinator",
+    "since": "subordinator",
+    "so": "subordinator",
+    "so that": "subordinator",
+    "though": "subordinator",
+    "till": "subordinator",
+    "unless": "subordinator",
+    "until": "subordinator",
+    "when": "subordinator",
+    "when and if": "subordinator",
+    "while": "subordinator",
+}
+
+
+# D4 SSArgumentExtractor constituent-argument feature families
+# (discourse_parser.py:1182-1266); the per-candidate ss_arg classifier is
+# pickled (absent in-sandbox)
+SS_ARG_FEATURE_FAMILIES = (
+    ("conn", "feat"), ("conn_lower", "feat"), ("nt_ctx", "feat"),
+    ("conn_nt_path", "feat"), ("conn_nt_path_left_number", "feat"),
+    ("conn_category", "feat"), ("left_number", "raw"),
+    ("right_number", "raw"), ("conn_nt_position", "feat"),
+)
+
+
+def constituent_candidates(indices, syntax_tree):
+    """Argument-candidate constituents for one connective: the connective
+    node's non-connective children (multi-token connectives only) plus the
+    siblings of every ancestor up to the root — mirrors
+    SSArgumentExtractor._get_constituents (discourse_parser.py:1110-1144).
+    Returns [{"node", "indices"}] with global token indices."""
+    out = []
+    if syntax_tree.tree is None:
+        return out
+    nodes = []
+    if len(indices) == 1:
+        conn_node = syntax_tree.get_leaf_node_by_token_index(indices[0]).up
+    else:
+        conn_node = syntax_tree.get_common_ancestor_by_token_indices(indices)
+        conn_leaves = {id(syntax_tree.get_leaf_node_by_token_index(i))
+                       for i in indices}
+        for child in conn_node.get_children():
+            leaves = {id(l) for l in child.get_leaves()}
+            if not (conn_leaves & leaves):
+                nodes.append(child)
+    curr = conn_node
+    while not curr.is_root():
+        nodes.extend(syntax_tree.get_siblings(curr))
+        curr = curr.up
+    for node in nodes:
+        out.append({
+            "node": node,
+            "indices": sorted(leaf.index for leaf in node.get_leaves()),
+        })
+    return out
+
+
+def ss_argument_feature_strings(doc_parsed, sent_idx, conn_indices,
+                                syntax_tree,
+                                conn_category_mapping=CONNECTIVE_CATEGORIES):
+    """Per-constituent raw values for the 9 D4 families
+    (discourse_parser.py:1182-1266): one dict per candidate constituent,
+    sorted by first token, each carrying its token "indices"."""
+    sp = doc_parsed[sent_idx]
+    conn = " ".join(sp["tokens"][i] for i in conn_indices)
+    conn_lower = conn.lower()
+    conn_category = conn_category_mapping[conn_lower]
+    try:
+        conn_node = syntax_tree.get_self_category_node_by_token_indices(
+            conn_indices)
+    except Exception:
+        return []
+    if conn_node is None:
+        return []
+
+    left_number = right_number = 0
+    if conn_node.up is not None:
+        children = conn_node.up.get_children()
+        for ci, child in enumerate(children):
+            if child is conn_node:
+                left_number, right_number = ci, len(children) - 1 - ci
+                break
+
+    cands = constituent_candidates({"indices": conn_indices}["indices"],
+                                   syntax_tree)
+    cands.sort(key=lambda x: x["indices"][0])
+    rows = []
+    for cand in cands:
+        node = cand["node"]
+        parent, left, right = node.up, None, None
+        if parent is not None:
+            children = parent.get_children()
+            for ci, child in enumerate(children):
+                if child is node:
+                    if ci > 0:
+                        left = children[ci - 1]
+                    if ci < len(children) - 1:
+                        right = children[ci + 1]
+                    break
+        nt_ctx = "-".join([
+            node.name,
+            parent.name if parent is not None else "NULL",
+            left.name if left is not None else "NULL",
+            right.name if right is not None else "NULL",
+        ])
+        conn_nt_path = syntax_tree.get_node_to_node_path(conn_node, node)
+        rows.append({
+            "indices": cand["indices"],
+            "conn": conn,
+            "conn_lower": conn_lower,
+            "nt_ctx": nt_ctx,
+            "conn_nt_path": conn_nt_path,
+            "conn_nt_path_left_number":
+                conn_nt_path + (":>1" if left_number > 1 else ":<=1"),
+            "conn_category": conn_category,
+            "left_number": left_number,
+            "right_number": right_number,
+            "conn_nt_position": syntax_tree.get_relative_position(conn_node, node),
+        })
+    return rows
+
+
 def parallel_connective_args(tokens, indices):
     """D4's PARALLEL path for discontinuous connectives (either..or):
     arg1 = the span between the two connective parts, arg2 = the span after

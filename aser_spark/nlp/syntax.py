@@ -198,6 +198,51 @@ class SyntaxTree:
         node = self.get_self_category_node_by_token_indices(token_indices)
         return node.up if node is not None else None
 
+    def get_siblings(self, node: SyntaxNode):
+        """All siblings of ``node`` (discourse_parser.py:337-343)."""
+        if node.is_root():
+            return []
+        return [c for c in node.up.children if c is not node]
+
+    @staticmethod
+    def _node_common_ancestor(node1: SyntaxNode, node2: SyntaxNode):
+        anc = set()
+        n = node1
+        while n is not None:
+            anc.add(id(n))
+            n = n.up
+        n = node2
+        while n is not None:
+            if id(n) in anc:
+                return n
+            n = n.up
+        return None
+
+    def get_node_to_node_path(self, node1: SyntaxNode, node2: SyntaxNode) -> str:
+        """node1 up to the common ancestor then down to node2, '>' on the
+        way up and '<' on the way down (discourse_parser.py:366-384)."""
+        ca = self._node_common_ancestor(node1, node2)
+        path = ""
+        temp = node1
+        while temp is not ca:
+            path += temp.name + ">"
+            temp = temp.up
+        path += ca.name
+        down = ""
+        temp = node2
+        while temp is not ca:
+            down = "<" + temp.name + down
+            temp = temp.up
+        return path + down
+
+    def get_relative_position(self, node1: SyntaxNode, node2: SyntaxNode) -> str:
+        """Mirrors the reference EXACTLY — which, due to
+        ``node1.is_root or node2.is_root`` (method object, always truthy,
+        discourse_parser.py:345-346), ALWAYS returns "middle".  Preserved
+        bug-for-bug because the downstream vocab dict only ever indexes
+        what the reference produced."""
+        return "middle"
+
     def get_subtree_by_token_indices(self, token_indices):
         """Pruned copy keeping only nodes on paths to the kept leaves;
         kept leaves RETAIN their original token index (the contract

@@ -22,7 +22,8 @@ sys.path.insert(0, str(REPO / "scripts"))
 
 from validate_helpers import (load_reference_argpos_classifier,  # noqa: E402
                               load_reference_connective_extractor,
-                              load_reference_explicit_classifier)
+                              load_reference_explicit_classifier,
+                              load_reference_ss_arg_extractor)
 
 
 def main():
@@ -32,14 +33,17 @@ def main():
     ce = load_reference_connective_extractor()
     ac = load_reference_argpos_classifier()
     ec = load_reference_explicit_classifier()
+    ss = load_reference_ss_arg_extractor()
     from aser_spark.datagen.transcripts import gen_conversation_rows
     from aser_spark.kernel.discourse import (ARGPOS_FEATURE_FAMILIES,
                                              CONNECTIVE_FEATURE_FAMILIES,
                                              EXPLICIT_FEATURE_FAMILIES,
+                                             SS_ARG_FEATURE_FAMILIES,
                                              argument_position_feature_strings,
                                              connective_feature_strings,
                                              connective_feature_vector,
                                              explicit_sense_feature_strings,
+                                             ss_argument_feature_strings,
                                              merge_feature_vector)
     from aser_spark.nlp import parse_text
     from aser_spark.nlp.syntax import SyntaxTree
@@ -50,6 +54,8 @@ def main():
                 for fam, _ in ARGPOS_FEATURE_FAMILIES}
     ex_vocab = {fam: getattr(ec, fam + "_dict")
                 for fam, _ in EXPLICIT_FEATURE_FAMILIES}
+    ss_vocab = {fam: getattr(ss, fam + "_dict")
+                for fam, kind in SS_ARG_FEATURE_FAMILIES if kind != "raw"}
 
     hand = [
         "the dog barked because the cat slept.",
@@ -77,6 +83,29 @@ def main():
         ref_feats = ce._generate_connective_features(parsed, doc_conns, cache)
         ref_ap = ac._generate_argument_position_features(parsed, doc_conns, cache)
         ref_ex = ec._generate_explicit_features(parsed, doc_conns, cache)
+        # D4 constituent features: non-parallel connectives only (as
+        # SSArgumentExtractor.extract routes them)
+        np_conns = [c for c in doc_conns
+                    if not any(c["indices"][k] + 1 < c["indices"][k + 1]
+                               for k in range(len(c["indices"]) - 1))]
+        ref_ss = ss._generate_constituent_argument_features(parsed, np_conns, cache)
+        my_ss = []
+        for c in np_conns:
+            for row in ss_argument_feature_strings(
+                    parsed, c["sent_idx"], c["indices"], cache[c["sent_idx"]]):
+                my_ss.append(merge_feature_vector(row, ss_vocab,
+                                                  SS_ARG_FEATURE_FAMILIES))
+        if len(my_ss) != len(ref_ss):
+            n_bad += 1
+            print(f"D4 COUNT MISMATCH: {len(my_ss)} vs {len(ref_ss)}")
+        else:
+            for (mdim, mfd), refs in zip(my_ss, ref_ss):
+                if mdim != refs.dimension or mfd != refs.feat_dict:
+                    n_bad += 1
+                    if n_bad <= 12:
+                        print(f"D4 MISMATCH: dim {mdim} vs {refs.dimension}; "
+                              f"extra={set(mfd) - set(refs.feat_dict)} "
+                              f"missing={set(refs.feat_dict) - set(mfd)}")
         for conn, ref, refp, refe in zip(doc_conns, ref_feats, ref_ap, ref_ex):
             strings = connective_feature_strings(
                 parsed, conn["sent_idx"], conn["indices"], cache[conn["sent_idx"]])

@@ -126,6 +126,34 @@ def load_reference_explicit_classifier():
     return ec
 
 
+def load_reference_ss_arg_extractor():
+    """SSArgumentExtractor via __new__ with vocab dicts + the
+    conn_category mapping loaded (no pickle) — enough for
+    _generate_constituent_argument_features and _get_parallel_clauses."""
+    load_reference_modules()
+    from aser.extract.discourse_parser import SSArgumentExtractor
+
+    base = Path("/root/reference/aser/extract/discourse")
+    ss = SSArgumentExtractor.__new__(SSArgumentExtractor)
+    ss.conn_category_dict = {"subordinator": 0, "coordinator": 1, "adverbial": 2}
+    ss.conn_nt_position_dict = {"right": 0, "left": 1}
+    ss.conn_category_mapping = {}
+    for line in (base / "feats" / "conn_category.txt").read_text().splitlines():
+        if line.strip():
+            a, b = line.split("#")
+            ss.conn_category_mapping[a.strip()] = b.strip()
+    for feat in ("conn", "conn_lower", "nt_ctx", "conn_nt_path",
+                 "conn_nt_path_left_number"):
+        d = {}
+        for idx, line in enumerate(
+                (base / "ss_arg_feats" / f"{feat}.txt").read_text().splitlines()):
+            line = line.rstrip()
+            if line:
+                d[line] = idx
+        setattr(ss, feat + "_dict", d)
+    return ss
+
+
 def load_reference_argpos_classifier():
     """ArgumentPositionClassifier via __new__ with its vocab dicts loaded
     (no pickle) — enough to run _generate_argument_position_features."""

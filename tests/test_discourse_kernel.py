@@ -246,3 +246,26 @@ def test_parallel_connective_args_either_or():
     rels = [(m[h], m[t], s) for h, t, s, w in
             extract_ss_discourse_relations(p["tokens"], evs, tree)]
     assert ("the dog bark", "the cat sleep", "Alternative") in rels
+
+
+def test_ss_argument_constituent_features():
+    """D4 constituent-candidate featurizer (parity-verified bit-exact vs
+    the reference's _generate_constituent_argument_features at dev time):
+    candidates = conn node's ancestors' siblings, with tree-path features."""
+    from aser_spark.kernel.discourse import (extract_connective_candidates,
+                                             ss_argument_feature_strings)
+    from aser_spark.nlp import parse_text
+    from aser_spark.nlp.syntax import SyntaxTree
+
+    parsed = parse_text("the dog barked because the cat slept.")
+    tree = SyntaxTree(parsed[0]["parse"])
+    conn = extract_connective_candidates(parsed[0]["tokens"])[0]
+    rows = ss_argument_feature_strings(parsed, 0, conn["indices"], tree)
+    by_idx = {tuple(r["indices"]): r for r in rows}
+    assert set(by_idx) == {(0, 1, 2), (4, 5, 6), (7,)}
+    main = by_idx[(0, 1, 2)]
+    assert main["conn"] == "because"
+    assert main["conn_category"] == "subordinator"
+    assert main["nt_ctx"] == "S-S-NULL-SBAR"
+    assert main["conn_nt_path"] == "IN>SBAR>S<S"
+    assert main["conn_nt_position"] == "middle"   # reference quirk: always

@@ -397,6 +397,230 @@ def ss_argument_feature_strings(doc_parsed, sent_idx, conn_indices,
     return rows
 
 
+# D5 PSArgumentExtractor feature families (discourse_parser.py:1448-1705):
+# arg1 candidates = clauses of the PREVIOUS sentence, arg2 candidates =
+# clauses of the connective's sentence split at the connective; the two
+# pickled clause classifiers are absent in-sandbox
+PS_ARG1_FEATURE_FAMILIES = (
+    ("verb_lemma", "list"), ("clause_first", "feat"), ("clause_last", "feat"),
+    ("prev_clause_first", "feat"), ("conn_lower", "feat"),
+    ("conn_category", "feat"),
+)
+PS_ARG2_FEATURE_FAMILIES = (
+    ("clause_production_rule", "list"), ("clause_first", "feat"),
+    ("clause_first_prev_last_parse_path", "feat"), ("next", "feat"),
+    ("conn_to_root_path", "feat"), ("conn", "feat"), ("prev", "feat"),
+    ("clause_last_next", "feat"), ("conn_lower", "feat"),
+    ("conn_conn_ctx", "feat"), ("compressed_cparent_to_root_path", "feat"),
+    ("cpos", "feat"), ("cparent_to_root_path_node_name", "list"),
+    ("conn_category", "feat"),
+)
+
+_VERB_POS = frozenset(("VB", "VBD", "VBG", "VBN", "VBP", "VBZ"))
+
+
+def _adjacent_index(doc_parsed, sent_idx, idx, step, skip_tokens):
+    """(sent_idx, idx) of the adjacent non-skip token, or (-1, -1) —
+    mirrors utils.get_prev/next_token_index with skip_tokens."""
+    s, i = sent_idx, idx
+    for _ in range(_MAX_ATTEMPT):
+        if step < 0:
+            if i - 1 >= 0:
+                i -= 1
+            elif s - 1 >= 0:
+                s -= 1
+                i = len(doc_parsed[s]["tokens"]) - 1
+            else:
+                return -1, -1
+        else:
+            if i + 1 < len(doc_parsed[s]["tokens"]):
+                i += 1
+            elif s + 1 < len(doc_parsed):
+                s += 1
+                i = 0
+            else:
+                return -1, -1
+        if doc_parsed[s]["tokens"][i] not in skip_tokens:
+            return s, i
+    return -1, -1
+
+
+def _clause_prev_string(doc_parsed, home_sent, clause_start, fallback_ok):
+    """The reference's clause-left-context string: the nearest non-separator
+    token if adjacent, else the separator run between; sentinel rules
+    mirrored from discourse_parser.py:1476-1496 (arg1) / :1576-1596 (arg2),
+    which differ only in the out-of-sentence fallback condition."""
+    from .clauses import CLAUSE_SEPARATOR_SET
+
+    sp = doc_parsed[home_sent]
+    if clause_start == 0:
+        return "NONE"
+    ps, pi = _adjacent_index(doc_parsed, home_sent, clause_start, -1,
+                             CLAUSE_SEPARATOR_SET)
+    if ps == home_sent:
+        if pi + 1 == clause_start:
+            return sp["tokens"][pi]
+        return " ".join(sp["tokens"][i] for i in range(pi + 1, clause_start))
+    if fallback_ok(ps):
+        return " ".join(sp["tokens"][i] for i in range(0, clause_start))
+    return "NONE"
+
+
+def ps_argument1_feature_strings(doc_parsed, sent_idx, conn_indices,
+                                 prev_tree,
+                                 conn_category_mapping=CONNECTIVE_CATEGORIES):
+    """Per-clause raw values for the 6 D5-arg1 families: candidates are the
+    clauses of the PREVIOUS sentence (discourse_parser.py:1448-1515)."""
+    sp = doc_parsed[sent_idx - 1]
+    clauses = get_clauses(sp["tokens"], prev_tree, None)
+    if not clauses:
+        return []
+    conn = " ".join(doc_parsed[sent_idx]["tokens"][i] for i in conn_indices)
+    conn_lower = conn.lower()
+    conn_category = conn_category_mapping[conn_lower]
+    rows = []
+    for clause in clauses:
+        clause = list(clause)
+        clause_first = sp["tokens"][clause[0]]
+        clause_last = sp["tokens"][clause[-1]]
+        prev = _clause_prev_string(doc_parsed, sent_idx - 1, clause[0],
+                                   lambda ps: ps + 1 == sent_idx - 1)
+        verb_lemmas = [sp["lemmas"][i] for i in clause
+                       if sp["pos_tags"][i] in _VERB_POS]
+        rows.append({
+            "indices": clause,
+            "verb_lemma": verb_lemmas,
+            "clause_first": clause_first,
+            "clause_last": clause_last,
+            "prev_clause_first": prev + "|" + clause_first,
+            "conn_lower": conn_lower,
+            "conn_category": conn_category,
+        })
+    return rows
+
+
+def ps_argument2_feature_strings(doc_parsed, sent_idx, conn_indices, tree,
+                                 conn_category_mapping=CONNECTIVE_CATEGORIES):
+    """Per-clause raw values for the 14 D5-arg2 families: candidates are the
+    connective sentence's clauses split at the connective
+    (discourse_parser.py:1517-1705)."""
+    from .clauses import CLAUSE_SEPARATOR_SET
+
+    sp = doc_parsed[sent_idx]
+    clauses = get_clauses(sp["tokens"], tree, set(conn_indices))
+    if not clauses:
+        return []
+    conn = " ".join(sp["tokens"][i] for i in conn_indices)
+    conn_lower = conn.lower()
+    conn_category = conn_category_mapping[conn_lower]
+    cpos = "_".join(sp["pos_tags"][i] for i in conn_indices)
+    try:
+        conn_node = tree.get_self_category_node_by_token_indices(conn_indices)
+    except Exception:
+        return []
+    if conn_node is None:
+        return []
+    parent = conn_node.up
+    left = right = None
+    if parent is not None:
+        children = parent.get_children()
+        for ci, child in enumerate(children):
+            if child is conn_node:
+                if ci > 0:
+                    left = children[ci - 1]
+                if ci < len(children) - 1:
+                    right = children[ci + 1]
+    conn_ctx = "-".join([
+        conn_node.name,
+        parent.name if parent is not None else "NULL",
+        left.name if left is not None else "NULL",
+        right.name if right is not None else "NULL",
+    ])
+
+    try:
+        conn_paths, cparent_paths = [], []
+        for i in conn_indices:
+            leaf = tree.get_leaf_node_by_token_index(i)
+            conn_paths.append(tree.get_node_path_to_root(leaf))
+            cparent_paths.append(tree.get_node_path_to_root(leaf.up))
+        node_names = [n for p in cparent_paths for n in p.split("-->")]
+        conn_to_root_path = "&".join(conn_paths)
+        compressed = "&".join(_compressed_path(p) for p in cparent_paths)
+    except Exception:
+        node_names = ["NONE_TREE"]
+        conn_to_root_path = "NONE_TREE"
+        compressed = "NONE_TREE"
+
+    rows = []
+    for clause_idx, clause in enumerate(clauses):
+        clause = list(clause)
+        clause_first = sp["tokens"][clause[0]]
+        clause_last = sp["tokens"][clause[-1]]
+        prev = _clause_prev_string(doc_parsed, sent_idx, clause[0],
+                                   lambda ps: clause[0] - 1 >= 0)
+        # next context (mirror of prev, discourse_parser.py:1597-1617)
+        if clause[-1] == len(sp["tokens"]) - 1:
+            nxt = "NONE"
+        else:
+            ns, ni = _adjacent_index(doc_parsed, sent_idx, clause[-1], +1,
+                                     CLAUSE_SEPARATOR_SET)
+            if ns == sent_idx:
+                if ni - 1 == clause[-1]:
+                    nxt = sp["tokens"][ni]
+                else:
+                    nxt = " ".join(sp["tokens"][i]
+                                   for i in range(clause[-1] + 1, ni))
+            elif clause[-1] + 1 < len(sp["tokens"]):
+                nxt = " ".join(sp["tokens"][i]
+                               for i in range(clause[-1] + 1, len(sp["tokens"])))
+            else:
+                nxt = "NONE"
+
+        try:
+            clause_first_node = tree.get_leaf_node_by_token_index(clause[0]).up
+            prev_last_node = (
+                tree.get_leaf_node_by_token_index(
+                    list(clauses[clause_idx - 1])[-1]).up
+                if clause_idx > 0 else None)
+        except Exception:
+            clause_first_node = prev_last_node = None
+
+        rules = []
+        if tree.tree is not None:
+            for node in tree.get_subtree_by_token_indices(clause).tree.traverse():
+                if not node.is_leaf():
+                    rules.append(node.name + "-->" + " ".join(
+                        c.name for c in node.get_children()))
+
+        try:
+            if prev_last_node is not None:
+                cf_path = tree.get_node_to_node_path(clause_first_node,
+                                                     prev_last_node)
+            else:
+                cf_path = "NONE"
+        except Exception:
+            cf_path = "NONE_TREE"
+
+        rows.append({
+            "indices": clause,
+            "clause_production_rule": rules,
+            "clause_first": clause_first,
+            "clause_first_prev_last_parse_path": cf_path,
+            "next": nxt,
+            "conn_to_root_path": conn_to_root_path,
+            "conn": conn,
+            "prev": prev,
+            "clause_last_next": clause_last + "|" + nxt,
+            "conn_lower": conn_lower,
+            "conn_conn_ctx": conn + "|" + conn_ctx,
+            "compressed_cparent_to_root_path": compressed,
+            "cpos": cpos,
+            "cparent_to_root_path_node_name": node_names,
+            "conn_category": conn_category,
+        })
+    return rows
+
+
 def parallel_connective_args(tokens, indices):
     """D4's PARALLEL path for discontinuous connectives (either..or):
     arg1 = the span between the two connective parts, arg2 = the span after

@@ -23,6 +23,7 @@ sys.path.insert(0, str(REPO / "scripts"))
 from validate_helpers import (load_reference_argpos_classifier,  # noqa: E402
                               load_reference_connective_extractor,
                               load_reference_explicit_classifier,
+                              load_reference_ps_arg_extractor,
                               load_reference_ss_arg_extractor)
 
 
@@ -34,15 +35,20 @@ def main():
     ac = load_reference_argpos_classifier()
     ec = load_reference_explicit_classifier()
     ss = load_reference_ss_arg_extractor()
+    psx = load_reference_ps_arg_extractor()
     from aser_spark.datagen.transcripts import gen_conversation_rows
     from aser_spark.kernel.discourse import (ARGPOS_FEATURE_FAMILIES,
                                              CONNECTIVE_FEATURE_FAMILIES,
                                              EXPLICIT_FEATURE_FAMILIES,
+                                             PS_ARG1_FEATURE_FAMILIES,
+                                             PS_ARG2_FEATURE_FAMILIES,
                                              SS_ARG_FEATURE_FAMILIES,
                                              argument_position_feature_strings,
                                              connective_feature_strings,
                                              connective_feature_vector,
                                              explicit_sense_feature_strings,
+                                             ps_argument1_feature_strings,
+                                             ps_argument2_feature_strings,
                                              ss_argument_feature_strings,
                                              merge_feature_vector)
     from aser_spark.nlp import parse_text
@@ -56,6 +62,12 @@ def main():
                 for fam, _ in EXPLICIT_FEATURE_FAMILIES}
     ss_vocab = {fam: getattr(ss, fam + "_dict")
                 for fam, kind in SS_ARG_FEATURE_FAMILIES if kind != "raw"}
+    ps1_vocab = {fam: getattr(psx, ("conn_category_dict" if fam == "conn_category"
+                                    else fam + "_dict1"))
+                 for fam, _ in PS_ARG1_FEATURE_FAMILIES}
+    ps2_vocab = {fam: getattr(psx, ("conn_category_dict" if fam == "conn_category"
+                                    else fam + "_dict2"))
+                 for fam, _ in PS_ARG2_FEATURE_FAMILIES}
 
     hand = [
         "the dog barked because the cat slept.",
@@ -95,6 +107,32 @@ def main():
                     parsed, c["sent_idx"], c["indices"], cache[c["sent_idx"]]):
                 my_ss.append(merge_feature_vector(row, ss_vocab,
                                                   SS_ARG_FEATURE_FAMILIES))
+        # D5: PS connectives (sent_idx > 0) arg1/arg2 clause features
+        ps_conns = [c for c in doc_conns if c["sent_idx"] > 0]
+        ref_a1 = psx._generate_argument1_features(parsed, ps_conns, cache)
+        ref_a2 = psx._generate_argument2_features(parsed, ps_conns, cache)
+        my_a1, my_a2 = [], []
+        for c in ps_conns:
+            for row in ps_argument1_feature_strings(
+                    parsed, c["sent_idx"], c["indices"], cache[c["sent_idx"] - 1]):
+                my_a1.append(merge_feature_vector(row, ps1_vocab,
+                                                  PS_ARG1_FEATURE_FAMILIES))
+            for row in ps_argument2_feature_strings(
+                    parsed, c["sent_idx"], c["indices"], cache[c["sent_idx"]]):
+                my_a2.append(merge_feature_vector(row, ps2_vocab,
+                                                  PS_ARG2_FEATURE_FAMILIES))
+        for tag, mine, refs_list in (("D5a1", my_a1, ref_a1), ("D5a2", my_a2, ref_a2)):
+            if len(mine) != len(refs_list):
+                n_bad += 1
+                print(f"{tag} COUNT MISMATCH: {len(mine)} vs {len(refs_list)}")
+                continue
+            for (mdim, mfd), refs in zip(mine, refs_list):
+                if mdim != refs.dimension or mfd != refs.feat_dict:
+                    n_bad += 1
+                    if n_bad <= 15:
+                        print(f"{tag} MISMATCH: dim {mdim} vs {refs.dimension}; "
+                              f"extra={set(mfd) - set(refs.feat_dict)} "
+                              f"missing={set(refs.feat_dict) - set(mfd)}")
         if len(my_ss) != len(ref_ss):
             n_bad += 1
             print(f"D4 COUNT MISMATCH: {len(my_ss)} vs {len(ref_ss)}")

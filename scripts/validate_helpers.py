@@ -154,6 +154,44 @@ def load_reference_ss_arg_extractor():
     return ss
 
 
+def load_reference_ps_arg_extractor():
+    """PSArgumentExtractor via __new__ with vocab dicts + category mapping
+    (no pickles) — enough for _generate_argument{1,2}_features."""
+    load_reference_modules()
+    from aser.extract.discourse_parser import PSArgumentExtractor
+
+    base = Path("/root/reference/aser/extract/discourse")
+    ps = PSArgumentExtractor.__new__(PSArgumentExtractor)
+    ps.verb_pos = set(["VB", "VBD", "VBG", "VBN", "VBP", "VBZ"])
+    ps.conn_category_dict = {"subordinator": 0, "coordinator": 1, "adverbial": 2}
+    ps.conn_category_mapping = {}
+    for line in (base / "feats" / "conn_category.txt").read_text().splitlines():
+        if line.strip():
+            a, b = line.split("#")
+            ps.conn_category_mapping[a.strip()] = b.strip()
+
+    def _load(subdir, feat):
+        d = {}
+        for idx, line in enumerate(
+                (base / subdir / f"{feat}.txt").read_text().splitlines()):
+            line = line.rstrip()
+            if line:
+                d[line] = idx
+        return d
+
+    for feat in ("verb_lemma", "clause_first", "clause_last",
+                 "prev_clause_first", "conn_lower"):
+        setattr(ps, feat + "_dict1", _load("ps_arg1_feats", feat))
+    for feat in ("clause_production_rule", "clause_first",
+                 "clause_first_prev_last_parse_path", "next",
+                 "conn_to_root_path", "conn", "prev", "clause_last_next",
+                 "conn_lower", "conn_conn_ctx",
+                 "compressed_cparent_to_root_path", "cpos",
+                 "cparent_to_root_path_node_name"):
+        setattr(ps, feat + "_dict2", _load("ps_arg2_feats", feat))
+    return ps
+
+
 def load_reference_argpos_classifier():
     """ArgumentPositionClassifier via __new__ with its vocab dicts loaded
     (no pickle) — enough to run _generate_argument_position_features."""

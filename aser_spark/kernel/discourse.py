@@ -1154,9 +1154,28 @@ def _clause_slice(clause, tokens, lemmas, pos_tags, deps):
     )
 
 
+def _clause_mentions(mentions, clause):
+    """Project sentence-level mention spans into clause-local coordinates
+    (eventuality_extractor.py:634-648 bisect semantics)."""
+    import bisect
+
+    out = []
+    n = len(clause)
+    for m in mentions or ():
+        s = bisect.bisect_left(clause, m["start"])
+        if not (s < n and clause[s] == m["start"]):
+            continue
+        e = bisect.bisect_left(clause, m["end"] - 1)
+        if not (e < n and clause[e] == m["end"] - 1):
+            continue
+        out.append(dict(m, start=s, end=e + 1))
+    return out
+
+
 def extract_sentence_eventualities_discourse(tokens, lemmas, pos_tags,
                                              dependencies, syntax_tree=None,
-                                             use_lemma=True, ners=None):
+                                             use_lemma=True, ners=None,
+                                             mentions=None):
     """Discourse-path eventualities for one parsed sentence, sorted by
     sentence-coordinate position.  Records match the seed kernel's shape;
     ``raw_indices``/``position`` are in SENTENCE coordinates."""
@@ -1174,7 +1193,7 @@ def extract_sentence_eventualities_discourse(tokens, lemmas, pos_tags,
         c_ners = [ners[i] for i in clause] if ners else None
         evs = extract_sentence_eventualities(
             c_tokens, c_lemmas, c_tags, c_deps, use_lemma=use_lemma,
-            ners=c_ners)
+            ners=c_ners, mentions=_clause_mentions(mentions, list(clause)))
         for e in evs:
             raw = tuple(clause[i] for i in e["raw_indices"])
             key = (e["eid"], raw)

@@ -127,8 +127,28 @@ def eid_of(rendered_deps, words, pos_tags) -> str:
     return hashlib.sha1(msg.encode("utf-8")).hexdigest()
 
 
+def project_mentions(mentions, indices):
+    """F8: project sentence-level NER mention spans onto an eventuality's
+    kept token positions — a mention survives only if BOTH its boundary
+    tokens are kept, and its span is remapped to eventuality-local
+    coordinates (eventuality.py:317-334 bisect semantics)."""
+    import bisect
+
+    out = []
+    n = len(indices)
+    for m in mentions or ():
+        s = bisect.bisect_left(indices, m["start"])
+        if not (s < n and indices[s] == m["start"]):
+            continue
+        e = bisect.bisect_left(indices, m["end"] - 1)
+        if not (e < n and indices[e] == m["end"] - 1):
+            continue
+        out.append(dict(m, start=s, end=e + 1))
+    return out
+
+
 def build_eventuality(pattern, sel_deps, n_skeleton, lemmas, tokens, pos_tags,
-                      use_lemma=True, ners=None):
+                      use_lemma=True, ners=None, mentions=None):
     """Canonicalize one matched candidate into a plain record.
 
     ``sel_deps``: selected raw edges in selection order (positive first —
@@ -179,6 +199,7 @@ def build_eventuality(pattern, sel_deps, n_skeleton, lemmas, tokens, pos_tags,
         "words": words,
         "pos_tags": tags,
         "ners": [ners[i] for i in indices] if ners else ["O"] * len(indices),
+        "mentions": project_mentions(mentions, indices),
         "dependencies": [[g, lab, d] for g, lab, d in reset],
         "skeleton_word_indices": skel_word_idx,
         "skeleton_dep_indices": skel_edge_idx,
@@ -254,7 +275,7 @@ def relabel_by_pos(by_pattern):
 
 def extract_sentence_eventualities(tokens, lemmas, pos_tags, dependencies,
                                    use_lemma=True, skip_words=CLAUSE_SKIP_WORDS,
-                                   ners=None):
+                                   ners=None, mentions=None):
     """Extract all eventualities from one parsed sentence, sorted by
     mean-token position (the reference's in_order mode,
     eventuality_extractor.py:343-388).
@@ -279,7 +300,7 @@ def extract_sentence_eventualities(tokens, lemmas, pos_tags, dependencies,
                 continue
             bucket.append(build_eventuality(
                 name, [deps[i] for i in sel_idx], n_skel,
-                lemmas, tokens, pos_tags, use_lemma, ners,
+                lemmas, tokens, pos_tags, use_lemma, ners, mentions,
             ))
         by_pattern[name] = bucket
 

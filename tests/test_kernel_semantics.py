@@ -113,3 +113,27 @@ def test_adjacent_sentence_requires_single_eventualities():
     assert len(para_evs[0]) >= 2
     cross = [r for r in rels if r[2] == "Result"]
     assert ("Reason" in {r[2] for r in rels}) and not cross
+
+
+def test_mention_projection_onto_eventualities():
+    """F8: sentence NER mention spans survive into an eventuality iff both
+    boundary tokens are kept, remapped to eventuality-local coordinates
+    (eventuality.py:317-334)."""
+    from aser_spark.kernel import extract_sentence_eventualities
+    from aser_spark.kernel.extractor import project_mentions
+    from aser_spark.nlp import parse_sentence
+
+    # direct unit semantics
+    assert project_mentions([{"start": 1, "end": 3, "text": "x y"}],
+                            [0, 1, 2, 5]) == \
+        [{"start": 1, "end": 3, "text": "x y"}]      # 1,2 kept -> local 1..3
+    assert project_mentions([{"start": 1, "end": 3}], [0, 1, 5]) == []  # 2 dropped
+
+    # through the extractor: "the dog barked" with a mention on "the dog"
+    p = parse_sentence("the dog barked.")
+    evs = extract_sentence_eventualities(
+        p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
+        mentions=[{"start": 0, "end": 2, "ner": "ANIMAL", "text": "the dog"}])
+    assert len(evs) == 1
+    m = evs[0]["mentions"]
+    assert m == [{"start": 0, "end": 2, "ner": "ANIMAL", "text": "the dog"}]

@@ -844,7 +844,8 @@ def _kg_oracle_sql() -> dict[str, str]:
             mm AS (SELECT eid, mention,
                           lower(regexp_replace(mention, '[^\\w]', '', 'g')) AS al
                    FROM m),
-            kb AS (SELECT lower(alias) AS al, entity_id, prior
+            kb AS (SELECT lower(regexp_replace(alias, '[^\\w]', '', 'g')) AS al,
+                          entity_id, prior
                    FROM read_parquet('{p["kb"]}')),
             r AS (SELECT eid, mention, entity_id, prior,
                          ROW_NUMBER() OVER (PARTITION BY eid, mention

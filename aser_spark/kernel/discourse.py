@@ -1,26 +1,39 @@
-"""Discourse-path extraction (v2.0 pipeline): connective candidate scan
-(D2) + clause segmentation (P4) + per-clause seed-rule re-extraction (P5).
+"""Discourse-path extraction (v2.0 pipeline): the full ASER discourse
+stack — connective scan + LR filter (D2), SS/PS argument-position split
+(D3), SS constituent / PS clause argument extraction (D4/D5), explicit
+sense classification (D6), clause segmentation (P4), and per-clause
+seed-rule re-extraction (P5).
 
-Mirrors the deterministic halves of the reference's ASER v2.0 stack:
+All five classifier stages run the REFERENCE'S OWN LR WEIGHTS (frozen from
+aser/extract/discourse/*.pkl into aser_spark/resources, see
+scripts/freeze_discourse_models.py) over featurizers that are bit-exact vs
+the reference's (fixtures/golden_connective_features.jsonl) — inference is
+pure numpy (kernel/discourse_models.py).
 
 * ``extract_connective_candidates`` — the longest-match scan of
   /root/reference/aser/extract/discourse_parser.py:469-545
   (ConnectiveExtractor._extract_connectives_by_tokens): every surface match
   of a PDTB explicit connective (including the paired ``x..y`` forms),
-  longest-first, overlapping spans suppressed.  The reference then filters
-  candidates with a pickled sklearn classifier (conn_extractor.pkl) that
-  cannot run in this environment — HERE ALL CANDIDATES ARE TREATED AS
-  DISCOURSE CONNECTIVES (documented recall-over-precision stub; swap
-  ``classify`` for a real model scorer when one is available).
-* ``extract_sentence_eventualities_discourse`` — the
-  DiscourseEventualityExtractor loop (eventuality_extractor.py:593-692):
-  connective token positions become clause separators, each clause's
-  token/lemma/pos/dependency slice is REMAPPED to clause-local indices and
-  re-extracted with the seed-rule kernel, results are mapped back to
-  sentence coordinates and deduplicated on (eid, raw token mapping).
-  This replaces the seed path's blunt sentence-level skip-word drop (F3)
-  with clause-level behavior: "i was happy when the test passed" yields
-  both clause eventualities instead of zero.
+  longest-first, overlapping spans suppressed.  (The reference's rebinding
+  of the loop variable inside the paired-connective branch is NOT
+  mirrored: with this connective inventory the only reachable effect is an
+  extra overlapping candidate that the used-indices filter then drops, so
+  the filtered output is provably identical.)
+* ``extract_document_eventualities_discourse`` — the
+  DiscourseEventualityExtractor loop (eventuality_extractor.py:593-718):
+  classifier-accepted connective token positions become clause separators,
+  each clause's token/lemma/pos/dependency slice is REMAPPED to
+  clause-local indices and re-extracted with the seed-rule kernel, results
+  are mapped back to sentence coordinates and deduplicated on
+  (eid, raw token mapping).
+* ``extract_paragraph_relations_discourse`` — the
+  DiscourseRelationExtractor pipeline (relation_extractor.py:348-466):
+  sentences without eventualities are replaced by the empty-sentence
+  parse (while keeping their REAL syntax trees, mirroring the reference's
+  shared ``syntax_tree_cache``, aser_extractor.py:819), connectives are
+  extracted + classified, split SS/PS, argument spans extracted with the
+  constituent/clause models, senses classified, and each (arg1, arg2)
+  pair Simpson-matched to eventualities with 1/(|E1|*|E2|) weights.
 
 The connective inventory is the public PDTB explicit-connective list (the
 reference ships it as discourse/conn_feats/exp_conn.txt; originally from
@@ -29,7 +42,7 @@ the PDTB 2.0 corpus / Wang & Lan CoNLL-2015 parser resources).
 
 from __future__ import annotations
 
-from .clauses import get_clauses
+from .clauses import PUNCTUATION_SET, get_clauses, strip_punctuations
 from .extractor import extract_sentence_eventualities
 
 # PDTB 2.0 explicit connectives (public data; reference exp_conn.txt)
@@ -57,7 +70,11 @@ EXPLICIT_CONNECTIVES = [
 _SORTED_CONN = sorted(EXPLICIT_CONNECTIVES)
 
 __all__ = ["EXPLICIT_CONNECTIVES", "extract_connective_candidates",
-           "extract_sentence_eventualities_discourse"]
+           "classify_connectives", "extract_ss_arguments",
+           "extract_ps_arguments", "classify_senses",
+           "extract_sentence_eventualities_discourse",
+           "extract_document_eventualities_discourse",
+           "extract_paragraph_relations_discourse"]
 
 
 def _index_from(tokens, word, start_from=0):
@@ -124,46 +141,16 @@ def extract_connective_candidates(tokens):
     return out
 
 
-# Majority PDTB sense per explicit connective — the deterministic stand-in
-# for the reference's pickled ExplicitSenseClassifier (D6): PDTB 2.0's
-# most-frequent explicit sense for each form, folded onto the reference's
-# 14-sense universe (aser/relation.py:5-12).  Connectives with no dominant
-# mappable sense are omitted (no relation emitted).
-CONNECTIVE_SENSES = {
-    "before": "Precedence", "then": "Precedence", "next": "Precedence",
-    "afterward": "Precedence", "later": "Precedence", "until": "Precedence",
-    "till": "Precedence",
-    "after": "Succession", "once": "Succession", "earlier": "Succession",
-    "previously": "Succession", "as soon as": "Succession",
-    "meanwhile": "Synchronous", "at the same time": "Synchronous",
-    "when": "Synchronous", "while": "Synchronous", "meantime": "Synchronous",
-    "simultaneously": "Synchronous",
-    "because": "Reason", "since": "Reason", "now that": "Reason",
-    "insofar as": "Reason",
-    "so": "Result", "thus": "Result", "therefore": "Result",
-    "hence": "Result", "consequently": "Result", "as a result": "Result",
-    "accordingly": "Result", "so that": "Result", "thereby": "Result",
-    "if": "Condition", "if..then": "Condition", "as long as": "Condition",
-    "but": "Contrast", "however": "Contrast", "by contrast": "Contrast",
-    "by comparison": "Contrast", "in contrast": "Contrast",
-    "conversely": "Contrast", "on the other hand": "Contrast",
-    "whereas": "Contrast",
-    "although": "Concession", "though": "Concession",
-    "nevertheless": "Concession", "nonetheless": "Concession",
-    "still": "Concession", "yet": "Concession",
-    "and": "Conjunction", "also": "Conjunction", "in addition": "Conjunction",
-    "additionally": "Conjunction", "besides": "Conjunction",
-    "furthermore": "Conjunction", "moreover": "Conjunction",
-    "plus": "Conjunction", "as well": "Conjunction", "nor": "Conjunction",
-    "neither..nor": "Conjunction", "likewise": "Conjunction",
-    "similarly": "Conjunction",
-    "for example": "Instantiation", "for instance": "Instantiation",
-    "in other words": "Restatement", "in fact": "Restatement",
-    "indeed": "Restatement", "specifically": "Restatement",
-    "or": "Alternative", "unless": "Alternative", "either..or": "Alternative",
-    "alternatively": "Alternative", "as an alternative": "Alternative",
-    "instead": "ChosenAlternative", "rather": "ChosenAlternative",
-    "except": "Exception",
+# The reference replaces eventuality-less sentences with this parse before
+# relation extraction (aser/extract/utils.py:36-45); dependencies/ners/
+# mentions omitted because no code path below reads them off this constant
+EMPTY_SENT_PARSED = {
+    "text": ".",
+    "dependencies": [],
+    "tokens": ["."],
+    "lemmas": ["."],
+    "pos_tags": ["."],
+    "parse": "(ROOT (NP (. .)))",
 }
 
 
@@ -470,7 +457,11 @@ def ps_argument1_feature_strings(doc_parsed, sent_idx, conn_indices,
                                  prev_tree,
                                  conn_category_mapping=CONNECTIVE_CATEGORIES):
     """Per-clause raw values for the 6 D5-arg1 families: candidates are the
-    clauses of the PREVIOUS sentence (discourse_parser.py:1448-1515)."""
+    clauses of the PREVIOUS sentence (discourse_parser.py:1448-1515).
+    Returns [] for a document-initial connective (no previous sentence) —
+    the reference only ever calls this with sent_idx > 0."""
+    if sent_idx <= 0:
+        return []
     sp = doc_parsed[sent_idx - 1]
     clauses = get_clauses(sp["tokens"], prev_tree, None)
     if not clauses:
@@ -646,92 +637,236 @@ def parallel_connective_args(tokens, indices):
     return out
 
 
-def extract_ss_discourse_relations(tokens, eventualities, syntax_tree=None,
-                                   method: str = "Simpson",
-                                   threshold: float = 0.8):
-    """Same-sentence v2.0 relation path with deterministic stand-ins:
+def doc_connective_candidates(doc_parsed):
+    """Document-wide connective candidates, each tagged with its sent_idx,
+    in the reference's order: sentence order, then per-sentence sort by
+    connective string (discourse_parser.py:447-467)."""
+    out = []
+    for sent_idx, sp in enumerate(doc_parsed):
+        cands = sorted(extract_connective_candidates(sp["tokens"]),
+                       key=lambda x: x["connective"])
+        for c in cands:
+            out.append({"connective": c["connective"],
+                        "indices": c["indices"], "sent_idx": sent_idx})
+    return out
 
-    connective candidates (D2) -> argument spans = the clauses adjacent to
-    the connective (SSArgumentExtractor stand-in: nearest clause ending
-    before the connective = arg1, first clause starting after it = arg2) ->
-    majority-sense mapping (D6 stand-in) -> J3 Simpson/Jaccard matching of
-    each span to eventualities -> relation instances weighted
-    1/(|E1|*|E2|), the reference's fan normalization
-    (relation_extractor.py:437-451)."""
-    conns = extract_connective_candidates(tokens)
-    sep = set()
-    for c in conns:
-        sep.update(c["indices"])
-    clauses = get_clauses(tokens, syntax_tree, sep)
-    rows = []
-    for c in conns:
-        sense = CONNECTIVE_SENSES.get(c["connective"])
-        if sense is None:
-            continue
-        start = c["indices"][0]
-        discontinuous = any(c["indices"][k] + 1 < c["indices"][k + 1]
-                            for k in range(len(c["indices"]) - 1))
+
+def classify_connectives(doc_parsed, syntax_trees, models=None):
+    """D2: candidate scan + the reference's LR connective filter
+    (ConnectiveExtractor.extract, discourse_parser.py:447-464)."""
+    if models is None:
+        from .discourse_models import load_discourse_models
+        models = load_discourse_models()
+    kept = []
+    for c in doc_connective_candidates(doc_parsed):
+        strings = connective_feature_strings(
+            doc_parsed, c["sent_idx"], c["indices"],
+            syntax_trees[c["sent_idx"]])
+        if models.is_connective(strings):
+            kept.append(c)
+    return kept
+
+
+def _merge_ss_argument(tokens, indices):
+    """SSArgumentExtractor's argument merge (discourse_parser.py:1077-1113):
+    single-index args pass through unstripped; multi-index args bridge
+    gaps that consist entirely of punctuation, then strip boundary
+    punctuation."""
+    if len(indices) == 1:
+        return list(indices)
+    merged = []
+    for k in range(len(indices) - 1):
+        merged.append(indices[k])
+        gap = range(indices[k] + 1, indices[k + 1])
+        if all(tokens[t] in PUNCTUATION_SET for t in gap):
+            merged.extend(gap)
+    merged.append(indices[-1])
+    return list(strip_punctuations(tokens, merged))
+
+
+def extract_ss_arguments(doc_parsed, connectives, syntax_trees, models):
+    """D4: SSArgumentExtractor.extract (discourse_parser.py:979-1032) —
+    parallel (discontinuous) connectives take the between/after spans;
+    contiguous connectives run the constituent candidate scan + the ss_arg
+    LR (label 1 -> Arg1 constituent, 2 -> Arg2), then the punctuation
+    bridge merge.  Mutates ``connectives`` in place (adds arg1/arg2)."""
+    for c in connectives:
+        sent_idx, indices = c["sent_idx"], c["indices"]
+        sp = doc_parsed[sent_idx]
+        discontinuous = any(indices[k] + 1 < indices[k + 1]
+                            for k in range(len(indices) - 1))
         if discontinuous:
-            # D4 parallel path: either..or / if..then argument spans
-            args = parallel_connective_args(tokens, c["indices"])
-            if len(args) != 2:
-                continue
-            arg1, arg2 = args
-        else:
-            before = [cl for cl in clauses if cl and max(cl) < start]
-            after = sorted([cl for cl in clauses if cl and min(cl) > start],
-                           key=lambda cl: min(cl))
-            if before and after:
-                # medial connective: "P because Q" -> arg1 = P, arg2 = Q
-                arg1 = max(before, key=lambda cl: max(cl))
-                arg2 = after[0]
-            elif not before and len(after) >= 2:
-                # sentence-INITIAL subordinator: "because Q, P" -> PDTB
-                # order: arg2 = the clause after the connective, arg1 = next
-                arg2, arg1 = after[0], after[1]
-            else:
-                continue
-        e1s = [e for e in eventualities
-               if match_argument_eventuality(arg1, e, method, threshold)]
-        e2s = [e for e in eventualities
-               if match_argument_eventuality(arg2, e, method, threshold)]
-        if not e1s or not e2s:
+            clauses = parallel_connective_args(sp["tokens"], indices)
+            if len(clauses) == 2:
+                c["arg1"] = {"sent_idx": sent_idx, "indices": list(clauses[0])}
+                c["arg2"] = {"sent_idx": sent_idx, "indices": list(clauses[1])}
             continue
-        cnt = 1.0 / (len(e1s) * len(e2s))
-        for e1 in e1s:
-            for e2 in e2s:
-                rows.append((e1["eid"], e2["eid"], sense, cnt))
-    return rows
+        rows = ss_argument_feature_strings(
+            doc_parsed, sent_idx, indices, syntax_trees[sent_idx],
+            conn_category_mapping=models.conn_category)
+        arg1_idx, arg2_idx = [], []
+        for row in rows:
+            label = models.ss_label(row)
+            if label == 1:
+                arg1_idx.extend(row["indices"])
+            elif label == 2:
+                arg2_idx.extend(row["indices"])
+        arg1_idx.sort()
+        arg2_idx.sort()
+        if not arg1_idx or not arg2_idx:
+            continue
+        c["arg1"] = {"sent_idx": sent_idx,
+                     "indices": _merge_ss_argument(sp["tokens"], arg1_idx)}
+        c["arg2"] = {"sent_idx": sent_idx,
+                     "indices": _merge_ss_argument(sp["tokens"], arg2_idx)}
+    return connectives
+
+
+def _remove_clause_from_implicit(tokens, implicit, clause_indices):
+    """PSArgumentExtractor's label==0 removal (discourse_parser.py:1383-1397):
+    split the implicit span at the removed clause and re-strip both parts."""
+    import bisect
+
+    parts = [[], []]
+    p_idx = 0
+    n = len(clause_indices)
+    for t_idx in implicit:
+        a_idx = bisect.bisect_left(clause_indices, t_idx)
+        if a_idx < n and clause_indices[a_idx] == t_idx:
+            p_idx = 1
+        else:
+            parts[p_idx].append(t_idx)
+    return (list(strip_punctuations(tokens, parts[0]))
+            + list(strip_punctuations(tokens, parts[1])))
+
+
+def extract_ps_arguments(doc_parsed, connectives, syntax_trees, models):
+    """D5: PSArgumentExtractor.extract (discourse_parser.py:1351-1446) —
+    Arg1 = previous sentence minus its ps_arg1-rejected clauses, Arg2 =
+    the connective's sentence (minus the connective) minus its
+    ps_arg2-rejected clauses; keeps only connectives that obtained both."""
+    ps = [c for c in connectives if c["sent_idx"] > 0]
+    for c in ps:
+        sent_idx, conn_indices = c["sent_idx"], c["indices"]
+
+        # ---- Arg1 over the previous sentence's clauses ----
+        rows = ps_argument1_feature_strings(
+            doc_parsed, sent_idx, conn_indices, syntax_trees[sent_idx - 1],
+            conn_category_mapping=models.conn_category)
+        if rows:
+            sp1 = doc_parsed[sent_idx - 1]
+            labeled = [(list(r["indices"]), models.ps1_label(r)) for r in rows]
+            implicit = list(strip_punctuations(
+                sp1["tokens"], list(range(len(sp1["tokens"])))))
+            for clause_indices, label in labeled:
+                if label == 0:
+                    implicit = _remove_clause_from_implicit(
+                        sp1["tokens"], implicit, clause_indices)
+            c["arg1"] = {"sent_idx": sent_idx - 1,
+                         "indices": implicit if implicit else labeled[-1][0]}
+
+        # ---- Arg2 over the connective sentence's clauses ----
+        rows = ps_argument2_feature_strings(
+            doc_parsed, sent_idx, conn_indices, syntax_trees[sent_idx],
+            conn_category_mapping=models.conn_category)
+        if rows:
+            sp2 = doc_parsed[sent_idx]
+            labeled = [(list(r["indices"]), models.ps2_label(r)) for r in rows]
+            sent_len = len(sp2["tokens"])
+            implicit = (list(strip_punctuations(
+                sp2["tokens"], list(range(0, conn_indices[0]))))
+                + list(strip_punctuations(
+                    sp2["tokens"],
+                    list(range(conn_indices[-1] + 1, sent_len)))))
+            for clause_indices, label in labeled:
+                if label == 0:
+                    implicit = _remove_clause_from_implicit(
+                        sp2["tokens"], implicit, clause_indices)
+            c["arg2"] = {"sent_idx": sent_idx,
+                         "indices": implicit if implicit else labeled[0][0]}
+
+    return [c for c in ps if "arg1" in c and "arg2" in c]
+
+
+def classify_senses(doc_parsed, connectives, syntax_trees, models):
+    """D6: ExplicitSenseClassifier.classify (discourse_parser.py:1820-1828)
+    — the 14-way explicit sense via the reference's softmax LR."""
+    for c in connectives:
+        strings = explicit_sense_feature_strings(
+            doc_parsed, c["sent_idx"], c["indices"],
+            syntax_trees[c["sent_idx"]])
+        c["sense"] = models.sense(strings)
+    return connectives
 
 
 def extract_paragraph_relations_discourse(sentences, para_eventualities,
                                           syntax_trees=None,
                                           method: str = "Simpson",
                                           threshold: float = 0.8):
-    """Paragraph relation instances for the discourse path: unconditional
-    Co_Occurrence over intra-sentence ordered pairs (as in v1), the SS
-    connective/arg-span relations above, and the v1 adjacent-sentence
-    window path (PS classifier stand-in)."""
-    from .relations import senses_adjacent_sentences
+    """The full DiscourseRelationExtractor pipeline
+    (relation_extractor.py:361-466) over one paragraph/conversation:
 
+    1. unconditional Co_Occurrence over intra-sentence ordered pairs;
+    2. replace eventuality-less sentences with EMPTY_SENT_PARSED while
+       keeping their REAL syntax trees (the reference's shared
+       syntax_tree_cache is populated by eventuality extraction over the
+       unfiltered document, aser_extractor.py:819 + relation_extractor
+       cache lookups by sent_idx);
+    3. D2 connective filter -> D3 SS/PS split -> D4/D5 argument spans ->
+       D6 senses, all with the reference's frozen LR weights;
+    4. Simpson/Jaccard-match each argument span to that sentence's
+       eventualities; emit (hid, tid, sense, 1/(|E1|*|E2|)) instances
+       (downstream aggregation sums duplicates exactly as the reference's
+       Relation.update accumulation does)."""
+    from .discourse_models import load_discourse_models
+
+    models = load_discourse_models()
     if syntax_trees is None:
         syntax_trees = [None] * len(sentences)
     rows = []
-    for sent, evs, tree in zip(sentences, para_eventualities, syntax_trees):
-        for head in evs:
-            for tail in evs:
-                if head["position"] < tail["position"]:
-                    rows.append((head["eid"], tail["eid"], "Co_Occurrence", 1.0))
-        rows.extend(extract_ss_discourse_relations(
-            sent["tokens"], evs, tree, method, threshold))
-    for i in range(len(sentences) - 1):
-        evs1, evs2 = para_eventualities[i], para_eventualities[i + 1]
-        if len(evs1) == 1 and len(evs2) == 1:
-            head, tail = evs1[0], evs2[0]
-            for sense in senses_adjacent_sentences(
-                head, tail, sentences[i]["tokens"], sentences[i + 1]["tokens"]
-            ):
-                rows.append((head["eid"], tail["eid"], sense, 1.0))
+    filtered = []
+    for sent, evs in zip(sentences, para_eventualities):
+        if evs:
+            filtered.append(sent)
+            for head in evs:
+                for tail in evs:
+                    if head["position"] < tail["position"]:
+                        rows.append((head["eid"], tail["eid"],
+                                     "Co_Occurrence", 1.0))
+        else:
+            filtered.append(EMPTY_SENT_PARSED)
+
+    connectives = classify_connectives(filtered, syntax_trees, models)
+    ss_conns, ps_conns = [], []
+    for c in connectives:
+        strings = argument_position_feature_strings(
+            filtered, c["sent_idx"], c["indices"],
+            syntax_trees[c["sent_idx"]])
+        (ps_conns if models.is_ps(strings) else ss_conns).append(c)
+    extract_ss_arguments(filtered, ss_conns, syntax_trees, models)
+    ps_conns = extract_ps_arguments(filtered, ps_conns, syntax_trees, models)
+    connectives = classify_senses(filtered, ss_conns + ps_conns,
+                                  syntax_trees, models)
+    connectives.sort(
+        key=lambda c: (c["sent_idx"], c["indices"][0] if c["indices"] else -1))
+
+    for c in connectives:
+        arg1, arg2, sense = c.get("arg1"), c.get("arg2"), c.get("sense")
+        if not (c.get("indices") and arg1 and arg2
+                and sense and sense != "None"):
+            continue
+        e1s = [e for e in para_eventualities[arg1["sent_idx"]]
+               if match_argument_eventuality(arg1["indices"], e,
+                                             method, threshold)]
+        e2s = [e for e in para_eventualities[arg2["sent_idx"]]
+               if match_argument_eventuality(arg2["indices"], e,
+                                             method, threshold)]
+        if not e1s or not e2s:
+            continue
+        cnt = 1.0 / (len(e1s) * len(e2s))
+        for e1 in e1s:
+            for e2 in e2s:
+                rows.append((e1["eid"], e2["eid"], sense, cnt))
     return rows
 
 
@@ -1172,17 +1307,13 @@ def _clause_mentions(mentions, clause):
     return out
 
 
-def extract_sentence_eventualities_discourse(tokens, lemmas, pos_tags,
-                                             dependencies, syntax_tree=None,
-                                             use_lemma=True, ners=None,
-                                             mentions=None):
-    """Discourse-path eventualities for one parsed sentence, sorted by
-    sentence-coordinate position.  Records match the seed kernel's shape;
-    ``raw_indices``/``position`` are in SENTENCE coordinates."""
-    conns = extract_connective_candidates(tokens)
-    sep = set()
-    for c in conns:
-        sep.update(c["indices"])
+def _sentence_clause_eventualities(tokens, lemmas, pos_tags, dependencies,
+                                   syntax_tree, sep, use_lemma=True,
+                                   ners=None, mentions=None):
+    """One sentence's discourse-path eventualities given its separator
+    index set ``sep`` (classifier-accepted connective positions) — the
+    per-clause re-extraction + dedup loop of
+    eventuality_extractor.py:620-692, sorted by sentence position."""
     clauses = get_clauses(tokens, syntax_tree, sep)
 
     out = []
@@ -1191,8 +1322,13 @@ def extract_sentence_eventualities_discourse(tokens, lemmas, pos_tags,
         c_tokens, c_lemmas, c_tags, c_deps = _clause_slice(
             list(clause), tokens, lemmas, pos_tags, dependencies)
         c_ners = [ners[i] for i in clause] if ners else None
+        # skip_words=None: the reference's v2.0 path builds its inner
+        # SeedRuleEventualityExtractor WITHOUT the CLAUSE_WORDS skip set
+        # (eventuality_extractor.py:599 passes no skip_words -> empty set;
+        # only the v1.0 SeedRuleASERExtractor sets it, aser_extractor.py:768)
         evs = extract_sentence_eventualities(
             c_tokens, c_lemmas, c_tags, c_deps, use_lemma=use_lemma,
+            skip_words=None,
             ners=c_ners, mentions=_clause_mentions(mentions, list(clause)))
         for e in evs:
             raw = tuple(clause[i] for i in e["raw_indices"])
@@ -1205,3 +1341,69 @@ def extract_sentence_eventualities_discourse(tokens, lemmas, pos_tags,
             out.append(e)
     out.sort(key=lambda e: e["position"])
     return out
+
+
+def extract_document_eventualities_discourse(doc_parsed, syntax_trees,
+                                             use_lemma=True):
+    """Discourse-path eventualities for a whole parsed document: one
+    classified connective pass over the document (the reference's
+    DiscourseEventualityExtractor._extract_clauses,
+    eventuality_extractor.py:694-718), then per-sentence clause
+    re-extraction.  Returns one eventuality list per sentence."""
+    from .discourse_models import load_discourse_models
+
+    models = load_discourse_models()
+    conns = classify_connectives(doc_parsed, syntax_trees, models)
+    seps = [set() for _ in doc_parsed]
+    for c in conns:
+        seps[c["sent_idx"]].update(c["indices"])
+    return [
+        _sentence_clause_eventualities(
+            sp["tokens"], sp["lemmas"], sp["pos_tags"], sp["dependencies"],
+            tree, sep, use_lemma=use_lemma, ners=sp.get("ners"),
+            mentions=sp.get("mentions"))
+        for sp, tree, sep in zip(doc_parsed, syntax_trees, seps)
+    ]
+
+
+def extract_sentence_eventualities_discourse(tokens, lemmas, pos_tags,
+                                             dependencies, syntax_tree=None,
+                                             use_lemma=True, ners=None,
+                                             mentions=None, prev_ctx=None,
+                                             next_ctx=None):
+    """Discourse-path eventualities for ONE parsed sentence, sorted by
+    sentence-coordinate position.  Records match the seed kernel's shape;
+    ``raw_indices``/``position`` are in SENTENCE coordinates.
+
+    Equals the document-level extraction exactly when ``prev_ctx`` /
+    ``next_ctx`` carry the (token, pos_tag) adjacent to this sentence in
+    the document: the D2 connective features leak at most ONE token across
+    each sentence boundary (prev/prevpos via get_prev_token_index,
+    conn_next/nextpos via get_next_token_index, utils.py:407-470 with no
+    skip set), so a one-token context stub reproduces the document-level
+    feature values bit-for-bit — which is what makes per-sentence
+    memoization of this function valid (pipeline/extract.py)."""
+    doc = []
+    if prev_ctx is not None:
+        doc.append({"tokens": [prev_ctx[0]], "pos_tags": [prev_ctx[1]],
+                    "lemmas": [prev_ctx[0]], "dependencies": []})
+    sent_idx = len(doc)
+    doc.append({"tokens": tokens, "lemmas": lemmas, "pos_tags": pos_tags,
+                "dependencies": dependencies})
+    if next_ctx is not None:
+        doc.append({"tokens": [next_ctx[0]], "pos_tags": [next_ctx[1]],
+                    "lemmas": [next_ctx[0]], "dependencies": []})
+
+    from .discourse_models import load_discourse_models
+
+    models = load_discourse_models()
+    sep = set()
+    for c in sorted(extract_connective_candidates(tokens),
+                    key=lambda x: x["connective"]):
+        strings = connective_feature_strings(doc, sent_idx, c["indices"],
+                                             syntax_tree)
+        if models.is_connective(strings):
+            sep.update(c["indices"])
+    return _sentence_clause_eventualities(
+        tokens, lemmas, pos_tags, dependencies, syntax_tree, sep,
+        use_lemma=use_lemma, ners=ners, mentions=mentions)

@@ -27,7 +27,7 @@ from pathlib import Path
 
 STAGE_DIR = os.environ.get("ASER_ORACLE_STAGE_DIR", "/tmp/aser_spark_oracle")
 # bump when the staged layout or the generator/kernel semantics change
-STAGE_VERSION = 9
+STAGE_VERSION = 10  # r3: real discourse LR classifiers (D2-D6)
 
 _INSTANCE_COLS = [
     ("kind", "string"), ("conv_id", "string"), ("turn_idx", "int32"),
@@ -54,34 +54,12 @@ def _write_parquet(path: Path, rows: list, cols: list) -> None:
 
 
 def _instances_rows(n_convs: int, seed: int, mode: str = "seed") -> list:
-    from functools import lru_cache
-
     from .datagen.transcripts import gen_conversation_rows
-    from .kernel import extract_sentence_eventualities
-    from .nlp import parse_sentence
-    from .pipeline.extract import conversation_instance_rows
+    from .pipeline.extract import _sentence_cache, conversation_instance_rows
 
-    if mode == "discourse":
-        from .kernel.discourse import extract_sentence_eventualities_discourse
-        from .nlp.syntax import SyntaxTree
-
-        @lru_cache(maxsize=16384)
-        def memo(sentence: str):
-            p = parse_sentence(sentence)
-            tree = SyntaxTree(p["parse"])
-            evs = extract_sentence_eventualities_discourse(
-                p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
-                syntax_tree=tree, ners=p.get("ners"))
-            return p, evs, tree
-    else:
-        @lru_cache(maxsize=16384)
-        def memo(sentence: str):
-            p = parse_sentence(sentence)
-            evs = extract_sentence_eventualities(
-                p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
-                ners=p.get("ners"))
-            return p, evs
-
+    # the pipeline's own per-worker memo factory — guarantees the oracle
+    # drives byte-identical kernel code to the Spark mapInPandas stage
+    memo = _sentence_cache(mode)
     out = []
     for ci in range(n_convs):
         conv = gen_conversation_rows(seed, ci)

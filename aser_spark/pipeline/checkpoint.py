@@ -44,6 +44,7 @@ CHECKPOINT_SCHEMA = T.StructType([
     T.StructField("n_edge_instances", T.LongType(), True),
     T.StructField("status", T.StringType(), True),
     T.StructField("source", T.StringType(), True),
+    T.StructField("mode", T.StringType(), True),
     T.StructField("wall_ms_batch", T.LongType(), True),
     T.StructField("committed_at", T.StringType(), True),
 ])
@@ -129,8 +130,22 @@ def run_extraction_checkpointed(spark, transcripts: DataFrame, workdir: str,
                                 source: str = "transcripts",
                                 mode: str = "seed") -> DataFrame:
     """Extract graph instances for all not-yet-done partitions; returns the
-    FULL instances DataFrame (all committed parts) for downstream stages."""
+    FULL instances DataFrame (all committed parts) for downstream stages.
+
+    The extraction ``mode`` ('seed' | 'discourse') is recorded in every
+    _checkpoints row; resuming a workdir whose committed parts were
+    extracted under a DIFFERENT mode fails fast — the two kernels emit
+    different eids/relations, so mixing them would silently corrupt the
+    instances table."""
     _mkdirs(spark, workdir)
+    ck = load_checkpoints(spark, workdir)
+    if ck is not None:
+        prior_modes = {r[0] for r in ck.select("mode").distinct().collect()}
+        prior_modes.discard(None)  # pre-mode-column legacy rows
+        if prior_modes - {mode}:
+            raise ValueError(
+                f"workdir {workdir} holds partitions extracted with mode="
+                f"{sorted(prior_modes)}; refusing to resume with mode={mode!r}")
     t = with_part_id(transcripts, n_parts)
     done = done_part_ids(spark, workdir)
     pending = set(range(n_parts)) - done
@@ -162,6 +177,7 @@ def run_extraction_checkpointed(spark, transcripts: DataFrame, workdir: str,
             )
             .withColumn("status", F.lit("done"))
             .withColumn("source", F.lit(source))
+            .withColumn("mode", F.lit(mode))
             .withColumn("wall_ms_batch", F.lit(wall_ms))
             .withColumn("committed_at", F.lit(_dt.datetime.utcnow().isoformat()))
         )
@@ -170,7 +186,7 @@ def run_extraction_checkpointed(spark, transcripts: DataFrame, workdir: str,
         empty = sorted(pending - seen)
         if empty:
             empty_rows = spark.createDataFrame(
-                [(p, 0, 0, 0, "done", source, wall_ms,
+                [(p, 0, 0, 0, "done", source, mode, wall_ms,
                   _dt.datetime.utcnow().isoformat()) for p in empty],
                 schema=stats.schema,
             )

@@ -40,9 +40,13 @@ def link_entities(nodes: DataFrame, kb_aliases: DataFrame) -> DataFrame:
 
     kb_aliases: (alias string, entity_id string, prior double)."""
     cands = mention_candidates(nodes)
+    # IDENTICAL normalization on both sides (case + punctuation + space
+    # fold), so multi-word / punctuated KB aliases — normal in the real
+    # Wikipedia/Wikidata dumps load_kb_aliases documents — stay matchable
     norm = F.lower(F.regexp_replace(F.col("mention"), r"[^\w]", ""))
+    kb_norm = F.lower(F.regexp_replace(F.col("alias"), r"[^\w]", ""))
     joined = cands.withColumn("_alias", norm).join(
-        F.broadcast(kb_aliases.withColumn("_alias", F.lower(F.col("alias")))),
+        F.broadcast(kb_aliases.withColumn("_alias", kb_norm)),
         "_alias", "inner",
     )
     # disambiguation = argmax(prior) with min-entity_id tie-break, encoded as
@@ -84,7 +88,13 @@ def expand_mention_aliases(mentions: DataFrame,
     """Acronym/surface-form expansion (entity_linker.py:46-85): adds an
     ``aliases`` array — the raw phrase, its standard capitalized form
     (stopwords lowercased, content words capitalized), and month/weekday
-    abbreviations.  Pure codegen expressions, no UDF."""
+    abbreviations.  Pure codegen expressions, no UDF.
+
+    Intentional divergence: for month/weekday names the alias set INCLUDES
+    the raw mention, while the reference's acronym() returns only the
+    dotted abbreviations for time-name phrases (entity_linker.py:58-66) —
+    a recall-positive choice (the surface form stays linkable) that the
+    tests and the DuckDB oracle both encode."""
     stop = F.array(*[F.lit(s) for s in _STOPWORDS])
     words = F.split(F.col(mention_col), " ")
     standard = F.concat_ws(" ", F.transform(
@@ -228,9 +238,10 @@ def link_entities_coref(mentions: DataFrame, kb_aliases: DataFrame,
     aliased = (expand_mention_aliases(mentions, mention_col)
                .select(scope_col, mention_col, F.explode("aliases").alias("_raw_alias")))
     norm = F.lower(F.regexp_replace(F.col("_raw_alias"), r"[^\w]", ""))
+    kb_norm = F.lower(F.regexp_replace(F.col("alias"), r"[^\w]", ""))
     cands = (
         aliased.withColumn("_alias", norm)
-        .join(F.broadcast(kb_aliases.withColumn("_alias", F.lower(F.col("alias")))),
+        .join(F.broadcast(kb_aliases.withColumn("_alias", kb_norm)),
               "_alias", "inner")
         .groupBy(scope_col, mention_col, "entity_id")
         .agg(F.max("prior").alias("prior"))

@@ -59,13 +59,28 @@ def _sentence_cache(mode: str = "seed"):
             from ..nlp.syntax import SyntaxTree
 
             @lru_cache(maxsize=8192)
-            def one(sentence: str):
+            def parse_one(sentence: str):
                 p = parse_sentence(sentence)
-                tree = SyntaxTree(p["parse"])
-                evs = extract_sentence_eventualities_discourse(
+                return p, SyntaxTree(p["parse"])
+
+            @lru_cache(maxsize=16384)
+            def evs_one(sentence: str, prev_ctx, next_ctx):
+                # ctx = (token, pos_tag) adjacent to this sentence in the
+                # conversation (or None at the edges): the ONLY document
+                # state the D2 connective classifier can see
+                # (kernel/discourse.py, one-token boundary leak), so this
+                # key makes sentence memoization exact at document level.
+                p, tree = parse_one(sentence)
+                return extract_sentence_eventualities_discourse(
                     p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
-                    syntax_tree=tree, ners=p.get("ners"))
-                return p, evs, tree
+                    syntax_tree=tree, ners=p.get("ners"),
+                    prev_ctx=prev_ctx, next_ctx=next_ctx)
+
+            def one(sentence: str, prev_ctx=None, next_ctx=None):
+                p, tree = parse_one(sentence)
+                return p, evs_one(sentence, prev_ctx, next_ctx), tree
+
+            one.parse = parse_one
         else:
             @lru_cache(maxsize=8192)
             def one(sentence: str):
@@ -227,13 +242,36 @@ def conversation_instance_rows(conv_id, turns, memo=None, mode="seed"):
         memo = _sentence_cache(mode)
     out = []
     sentences, para_evs, keys, trees = [], [], [], []
-    for turn_idx, text in turns:
-        for sent_idx, sent in enumerate(split_sentences(text)):
-            res = memo(sent)
+    if mode == "discourse":
+        # two passes: parse everything first so each sentence's one-token
+        # neighbor context (the only cross-sentence state the connective
+        # classifier sees) is known, then fetch memoized eventualities
+        flat = [(int(turn_idx), sent_idx, sent)
+                for turn_idx, text in turns
+                for sent_idx, sent in enumerate(split_sentences(text))]
+        parsed = [memo.parse(sent)[0] for _, _, sent in flat]
+        n = len(flat)
+        for i, (turn_idx, sent_idx, sent) in enumerate(flat):
+            prev_ctx = next_ctx = None
+            if i > 0 and parsed[i - 1]["tokens"]:
+                pp = parsed[i - 1]
+                prev_ctx = (pp["tokens"][-1], pp["pos_tags"][-1])
+            if i + 1 < n and parsed[i + 1]["tokens"]:
+                np_ = parsed[i + 1]
+                next_ctx = (np_["tokens"][0], np_["pos_tags"][0])
+            res = memo(sent, prev_ctx, next_ctx)
             sentences.append(res[0])
             para_evs.append(res[1])
-            trees.append(res[2] if len(res) > 2 else None)
-            keys.append((int(turn_idx), sent_idx))
+            trees.append(res[2])
+            keys.append((turn_idx, sent_idx))
+    else:
+        for turn_idx, text in turns:
+            for sent_idx, sent in enumerate(split_sentences(text)):
+                res = memo(sent)
+                sentences.append(res[0])
+                para_evs.append(res[1])
+                trees.append(res[2] if len(res) > 2 else None)
+                keys.append((int(turn_idx), sent_idx))
     for (turn_idx, sent_idx), evs in zip(keys, para_evs):
         for e in evs:
             w = e["words"]

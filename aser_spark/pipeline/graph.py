@@ -34,11 +34,22 @@ def build_core_kg(nodes: DataFrame, edges: DataFrame,
     """
     core_nodes = nodes.filter(F.col("frequency") >= F.lit(freq_threshold))
     kept = core_nodes.select("eid")
-    # >= matches the reference boundary (it drops weight < threshold,
-    # aser/pipe/__init__.py:259) — strict > would wrongly drop edges whose
-    # weight exactly equals a nonzero threshold.
+    # the reference thresholds the RELATION's aggregate weight — the
+    # per-(hid,tid) sum over ALL senses (relation_counter[rid] accumulates
+    # sum(relation.relations.values()), aser/pipe/__init__.py:186,259) —
+    # and >= matches its boundary (it drops weight < threshold).  The pair
+    # aggregation is skipped at threshold 0 (instance weights are positive,
+    # so every pair passes) to avoid a needless (hid,tid) shuffle.
+    if weight_threshold > 0:
+        kept_pairs = (
+            edges.groupBy("hid", "tid")
+            .agg(F.sum("weight").alias("_pair_weight"))
+            .filter(F.col("_pair_weight") >= F.lit(weight_threshold))
+            .select("hid", "tid")
+        )
+        edges = edges.join(kept_pairs, ["hid", "tid"], "left_semi")
     core_edges = (
-        edges.filter(F.col("weight") >= F.lit(weight_threshold))
+        edges
         .join(kept.withColumnRenamed("eid", "hid"), "hid", "left_semi")
         .join(kept.withColumnRenamed("eid", "tid"), "tid", "left_semi")
     )

@@ -12,11 +12,86 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def _stub_module(name, **attrs):
+    if name in sys.modules:  # don't clobber functional stubs installed first
+        return sys.modules[name]
     mod = types.ModuleType(name)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
     return mod
+
+
+def install_functional_ml_stubs():
+    """Install WORKING scipy.sparse / sklearn stand-ins (before any
+    reference import binds the dummy ones): a minimal CSR + vstack and a
+    LogisticRegression shell whose predict/predict_proba replicate
+    sklearn-0.22 decision semantics in numpy — enough to run the
+    reference's pickled discourse classifiers end-to-end in-sandbox."""
+    import numpy as np
+
+    if not hasattr(np, "float"):  # removed in numpy>=1.24; Feature.to_csr uses it
+        np.float = float
+
+    class FunctionalCSR:
+        def __init__(self, arg=None, shape=None, dtype=None, rows=None):
+            if rows is not None:
+                self.rows = rows
+            else:
+                data, indices, indptr = arg
+                self.rows = [(list(indices), [float(v) for v in data])]
+            self.shape = shape
+
+    def vstack(mats):
+        mats = list(mats)
+        rows = [r for m in mats for r in m.rows]
+        return FunctionalCSR(rows=rows, shape=(len(rows), mats[0].shape[1]))
+
+    class FunctionalLogisticRegression:
+        """Attribute shell filled by pickle; decision math mirrors
+        sklearn-0.22 LogisticRegression.predict / predict_proba-argmax."""
+
+        def _decision(self, X):
+            coef = np.asarray(self.coef_, dtype=np.float64)
+            b = np.asarray(self.intercept_, dtype=np.float64)
+            out = np.tile(b, (len(X.rows), 1))
+            for r, (idx, val) in enumerate(X.rows):
+                for i, v in zip(idx, val):
+                    out[r] += coef[:, i] * v
+            return out
+
+        def predict(self, X):
+            d = self._decision(X)
+            if d.shape[1] == 1:
+                return np.asarray([
+                    self.classes_[1] if s > 0 else self.classes_[0]
+                    for s in d[:, 0]])
+            return np.asarray(
+                [self.classes_[int(np.argmax(row))] for row in d])
+
+        def predict_proba(self, X):
+            # only ever consumed through argmax (discourse_parser.py:2086);
+            # raw decisions are argmax-equivalent to softmax/ovr probas
+            return self._decision(X)
+
+    class _Dummy:
+        def __init__(self, *a, **kw):
+            raise RuntimeError("stubbed dependency used at runtime")
+
+    _stub_module("stanza")
+    _stub_module("stanza.server", CoreNLPClient=_Dummy, TimeoutException=Exception)
+    _stub_module("ete3", Tree=_Dummy)
+    scipy = _stub_module("scipy")
+    sp = _stub_module("scipy.sparse", csr_matrix=FunctionalCSR, vstack=vstack,
+                      hstack=_Dummy)
+    scipy.sparse = sp
+    _stub_module("sklearn")
+    _stub_module("sklearn.preprocessing", MultiLabelBinarizer=_Dummy)
+    _stub_module("sklearn.linear_model",
+                 LogisticRegression=FunctionalLogisticRegression,
+                 LogisticRegressionCV=FunctionalLogisticRegression)
+    _stub_module("sklearn.linear_model._logistic",
+                 LogisticRegression=FunctionalLogisticRegression)
+    _stub_module("sklearn.multiclass", OneVsRestClassifier=_Dummy)
 
 
 def load_reference_modules():

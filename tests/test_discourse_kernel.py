@@ -1,11 +1,12 @@
-"""Discourse path (P4/P5/D1/D2): golden parity vs frozen reference outputs
+"""Discourse path (P4/P5/D1-D6): golden parity vs frozen reference outputs
 + unit semantics for SyntaxTree, clause splitting, and the connective scan.
 
-fixtures/golden_discourse_eventualities.jsonl was frozen by
-scripts/freeze_discourse_goldens.py running the ACTUAL reference code
-(utils.get_clauses + ConnectiveExtractor candidate scan +
-SeedRuleEventualityExtractor per clause, the candidates-only config) over
-3297 unique sentences: synthetic corpus + hand cases.  P/R was 1.0000 at
+fixtures/golden_discourse_{eventualities,relations}.jsonl were frozen by
+scripts/validate_discourse_e2e.py running the ACTUAL reference code
+end-to-end — DiscourseEventualityExtractor + DiscourseRelationExtractor
+with the reference's OWN pickled LR classifiers (loaded through functional
+numpy stand-ins) — over 310 documents (synthetic conversations + hand
+cases).  Eventuality AND relation P/R were 1.0000 (weights bit-equal) at
 freeze time; this suite re-checks our kernel against the frozen outputs
 without importing the reference.
 """
@@ -18,6 +19,31 @@ from pathlib import Path
 import pytest
 
 FIXTURE = Path(__file__).parent.parent / "fixtures" / "golden_discourse_eventualities.jsonl"
+REL_FIXTURE = Path(__file__).parent.parent / "fixtures" / "golden_discourse_relations.jsonl"
+
+
+def _parse_doc(texts):
+    from aser_spark.nlp import parse_text
+    from aser_spark.nlp.syntax import SyntaxTree
+
+    parsed = []
+    for t in texts:
+        parsed.extend(parse_text(t))
+    return parsed, [SyntaxTree(p["parse"]) for p in parsed]
+
+
+def _our_doc(texts):
+    from aser_spark.kernel.discourse import (
+        extract_document_eventualities_discourse,
+        extract_paragraph_relations_discourse)
+
+    parsed, trees = _parse_doc(texts)
+    para_evs = extract_document_eventualities_discourse(parsed, trees)
+    rows = extract_paragraph_relations_discourse(parsed, para_evs, trees)
+    triples = {}
+    for h, t, s, w in rows:
+        triples[(h, t, s)] = triples.get((h, t, s), 0.0) + w
+    return para_evs, triples
 
 
 def _our_extract(sentence):
@@ -32,23 +58,49 @@ def _our_extract(sentence):
 
 
 def test_golden_discourse_parity():
-    assert FIXTURE.exists(), "run scripts/freeze_discourse_goldens.py --freeze"
-    n = tp = fp = fn = 0
+    assert FIXTURE.exists(), "run scripts/validate_discourse_e2e.py --freeze"
+    n_docs = n_sents = tp = fp = fn = 0
     with FIXTURE.open() as f:
         for line in f:
             row = json.loads(line)
-            want = {(e["eid"], tuple(e["raw"])) for e in row["eventualities"]}
-            got = {(e["eid"], tuple(e["raw_indices"]))
-                   for e in _our_extract(row["sentence"])}
-            tp += len(want & got)
-            fp += len(got - want)
-            fn += len(want - got)
-            n += 1
+            para_evs, _ = _our_doc(row["doc_texts"])
+            assert len(para_evs) == len(row["eventualities"])
+            for want_sent, got_sent in zip(row["eventualities"], para_evs):
+                want = {(eid, tuple(raw)) for eid, raw in want_sent}
+                got = {(e["eid"], tuple(e["raw_indices"])) for e in got_sent}
+                tp += len(want & got)
+                fp += len(got - want)
+                fn += len(want - got)
+                n_sents += 1
+            n_docs += 1
     precision = tp / (tp + fp) if tp + fp else 1.0
     recall = tp / (tp + fn) if tp + fn else 1.0
-    assert n >= 3000
+    assert n_docs >= 300 and n_sents >= 3000
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
     # at freeze time parity was exact; regressions should be investigated
+    assert precision == 1.0 and recall == 1.0, (precision, recall)
+
+
+def test_golden_discourse_relation_parity():
+    """End-to-end relation triples (hid, tid, sense) AND their accumulated
+    weights vs the reference discourse relation extractor running its own
+    classifier weights."""
+    assert REL_FIXTURE.exists(), "run scripts/validate_discourse_e2e.py --freeze"
+    n_docs = tp = fp = fn = 0
+    with REL_FIXTURE.open() as f:
+        for line in f:
+            row = json.loads(line)
+            _, got = _our_doc(row["doc_texts"])
+            want = {(h, t, s): w for h, t, s, w in row["triples"]}
+            tp += len(want.keys() & got.keys())
+            fp += len(got.keys() - want.keys())
+            fn += len(want.keys() - got.keys())
+            for k in want.keys() & got.keys():
+                assert abs(want[k] - got[k]) <= 1e-9, (k, want[k], got[k])
+            n_docs += 1
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    assert n_docs >= 300
     assert precision == 1.0 and recall == 1.0, (precision, recall)
 
 
@@ -147,19 +199,19 @@ def test_theta_join_simpson_jaccard():
 
 
 def test_ss_discourse_relations_fan_normalization():
-    """'a because b' with clause-derived args: Reason(e_a, e_b) weighted
-    1/(|E1|*|E2|)."""
-    from aser_spark.kernel.discourse import extract_sentence_eventualities_discourse, extract_ss_discourse_relations
-    from aser_spark.nlp import parse_sentence
-    from aser_spark.nlp.syntax import SyntaxTree
+    """'a because b': the real D2 classifier accepts 'because', the D4
+    constituent model assigns Arg1/Arg2, D6 labels it Reason, weighted
+    1/(|E1|*|E2|) = 1.0."""
+    from aser_spark.kernel.discourse import extract_paragraph_relations_discourse
 
-    p = parse_sentence("the dog barked because the cat slept.")
-    tree = SyntaxTree(p["parse"])
-    evs = extract_sentence_eventualities_discourse(
-        p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"], tree)
-    by_words = {" ".join(e["words"]): e for e in evs}
+    para_evs, _ = (None, None)
+    parsed, trees = _parse_doc(["the dog barked because the cat slept."])
+    from aser_spark.kernel.discourse import extract_document_eventualities_discourse
+
+    para_evs = extract_document_eventualities_discourse(parsed, trees)
+    by_words = {" ".join(e["words"]): e for e in para_evs[0]}
     assert "the dog bark" in by_words and "the cat sleep" in by_words
-    rels = extract_ss_discourse_relations(p["tokens"], evs, tree)
+    rels = extract_paragraph_relations_discourse(parsed, para_evs, trees)
     assert (by_words["the dog bark"]["eid"], by_words["the cat sleep"]["eid"],
             "Reason", 1.0) in rels
 
@@ -228,24 +280,19 @@ def test_golden_connective_features():
 def test_parallel_connective_args_either_or():
     """D4 parallel path: discontinuous connectives get span-based args
     (parity-verified vs SSArgumentExtractor._get_parallel_clauses at dev
-    time); either..or produces an Alternative relation end-to-end."""
-    from aser_spark.kernel.discourse import (
-        extract_sentence_eventualities_discourse,
-        extract_ss_discourse_relations, parallel_connective_args)
-    from aser_spark.nlp import parse_sentence
-    from aser_spark.nlp.syntax import SyntaxTree
+    time); extract_ss_arguments routes discontinuous spans through it."""
+    from aser_spark.kernel.discourse import (extract_ss_arguments,
+                                             parallel_connective_args)
+    from aser_spark.kernel.discourse_models import load_discourse_models
 
     toks = "either the dog barked or the cat slept .".split()
     assert parallel_connective_args(toks, [0, 4]) == [[1, 2, 3], [5, 6, 7]]
 
-    p = parse_sentence("either the dog barked or the cat slept.")
-    tree = SyntaxTree(p["parse"])
-    evs = extract_sentence_eventualities_discourse(
-        p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"], tree)
-    m = {e["eid"]: " ".join(e["words"]) for e in evs}
-    rels = [(m[h], m[t], s) for h, t, s, w in
-            extract_ss_discourse_relations(p["tokens"], evs, tree)]
-    assert ("the dog bark", "the cat sleep", "Alternative") in rels
+    parsed, trees = _parse_doc(["either the dog barked or the cat slept."])
+    conn = {"connective": "either..or", "indices": [0, 4], "sent_idx": 0}
+    extract_ss_arguments(parsed, [conn], trees, load_discourse_models())
+    assert conn["arg1"] == {"sent_idx": 0, "indices": [1, 2, 3]}
+    assert conn["arg2"] == {"sent_idx": 0, "indices": [5, 6, 7]}
 
 
 def test_ss_argument_constituent_features():

@@ -493,6 +493,33 @@ def _q_mention_alias_expansion(spark, sf_dir):
             .distinct())
 
 
+def _q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN, deterministic-quantizer variant (the oracled stand-in for
+    the KMeans-trained ivf_ann_topk — identical list/probe/rerank plan)."""
+    _ship_package(spark)
+    from aser_spark.textops import ivf_ann_topk_grid
+
+    return ivf_ann_topk_grid(_t(spark, sf_dir, "embeddings"),
+                             k=3, n_lists=8, n_probe=2)
+
+
+def _q_kg_node_ner_profiles(spark, sf_dir):
+    """F8/A1-ners end-to-end: per-eventuality per-word-position NER tag
+    weights (the reference's frequency-weighted Counter merge,
+    eventuality.py:66-78), exploded back to relational rows so the DuckDB
+    oracle can hash-compare them (map columns don't hash portably)."""
+    _ship_package(spark)
+    from aser_spark.pipeline.aggregate import node_ner_profiles
+
+    inst = _kg(spark)["instances"].filter(F.col("kind") == "node")
+    prof = node_ner_profiles(inst)
+    return (
+        prof.select("eid", F.posexplode("ner_profile").alias("pos", "m"))
+        .select("eid", "pos", F.explode("m").alias("tag", "w"))
+        .select("eid", "pos", "tag", F.round("w", 4).alias("weight"))
+    )
+
+
 def _q_lsh_candidate_pairs(spark, sf_dir):
     _ship_package(spark)
     from aser_spark.textops import lsh_candidate_pairs, minhash_signatures
@@ -531,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "lsh_signatures": _q_lsh_signatures,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
@@ -547,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_concepts_multi": _q_kg_concepts_multi,
         "kg_concept_relations": _q_kg_concept_relations,
         "kg_entity_links": _q_kg_entity_links,
+        "kg_node_ner_profiles": _q_kg_node_ner_profiles,
         "mention_coref_components": _q_mention_coref_components,
         "mention_alias_expansion": _q_mention_alias_expansion,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
@@ -854,6 +883,16 @@ def _kg_oracle_sql() -> dict[str, str]:
             SELECT eid, mention, entity_id, ROUND(prior, 6) AS prior
             FROM r WHERE rnk = 1
         """,
+        "kg_node_ner_profiles": f"""
+            WITH n AS (SELECT eid, frequency, string_split(ners, ' ') AS nn
+                       FROM read_parquet('{p["instances"]}')
+                       WHERE kind = 'node' AND ners IS NOT NULL),
+            ex AS (SELECT eid, CAST(s.i - 1 AS INT) AS pos,
+                          list_extract(nn, s.i) AS tag, frequency
+                   FROM n JOIN {series32} s ON s.i <= len(nn))
+            SELECT eid, pos, tag, ROUND(SUM(frequency), 4) AS weight
+            FROM ex GROUP BY eid, pos, tag
+        """,
         "media_features": f"""
             SELECT media_id, kind, payload_sha1, n_bytes
             FROM read_parquet('{p["media"]}')
@@ -1112,6 +1151,39 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 40),
             r AS (SELECT qid, cid, cos_sim,
                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rank
+                  FROM pairs)
+            SELECT qid, CAST(rank AS INT) AS rank, cid, cos_sim
+            FROM r WHERE rank <= 3
+        """,
+        "ivf_ann_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            c AS (SELECT vec_id AS list_id, emb AS cemb FROM e
+                  ORDER BY vec_id LIMIT 8),
+            d AS (SELECT e.vec_id, c.list_id,
+                         ROUND(list_dot_product(e.emb, e.emb)
+                               - 2 * list_dot_product(e.emb, c.cemb)
+                               + list_dot_product(c.cemb, c.cemb), 6) AS sqd
+                  FROM e CROSS JOIN c),
+            rk AS (SELECT vec_id, list_id,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sqd, list_id) AS rn
+                   FROM d),
+            assigned AS (SELECT vec_id AS cid, list_id FROM rk WHERE rn = 1),
+            probes AS (SELECT vec_id AS qid, list_id FROM rk WHERE rn <= 2),
+            cand AS (SELECT DISTINCT p.qid, a.cid
+                     FROM probes p JOIN assigned a USING (list_id)
+                     WHERE a.cid != p.qid),
+            pairs AS (SELECT qid, cid,
+                             ROUND(list_dot_product(ea.emb, eb.emb) /
+                                   (sqrt(list_dot_product(ea.emb, ea.emb)) *
+                                    sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cos_sim
+                      FROM cand
+                      JOIN e ea ON ea.vec_id = qid
+                      JOIN e eb ON eb.vec_id = cid),
+            r AS (SELECT qid, cid, cos_sim,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY cos_sim DESC, cid ASC) AS rank
                   FROM pairs)
             SELECT qid, CAST(rank AS INT) AS rank, cid, cos_sim
             FROM r WHERE rank <= 3

@@ -57,6 +57,11 @@ _VDI_BASE = ["give", "send", "show", "bring"]
 _VBN = ["shipped", "fixed", "merged", "reviewed", "closed", "tested", "deployed"]
 _PREPS = ["in", "on", "at", "with", "from", "to", "by", "near"]
 _PLACES = ["garden", "kitchen", "office", "school", "station", "store", "room", "city"]
+# named entities — the parser's deterministic gazetteer tags these
+# PERSON / CITY / ORGANIZATION and emits mention spans (F8 end-to-end)
+_PERSON_NAMES = ["Alice", "Bob", "Carol", "Dave", "Erin", "Frank", "Grace", "Heidi"]
+_CITY_NAMES = ["Paris", "London", "Tokyo", "Boston"]
+_ORG_NAMES = ["Acme", "Globex", "Initech", "Acme Corp", "Globex Corp"]
 
 # Zipf-weighted hot sentences — each canonicalizes to ONE head eventuality,
 # creating the skewed keys the salted aggregation must absorb.
@@ -85,17 +90,24 @@ _HOT_W = _zipf_weights(len(HOT_SENTENCES), _ZIPF_S)
 
 
 def _subject(rng):
-    if rng.random() < 0.5:
+    r = rng.random()
+    if r < 0.12:
+        return rng.choice(_PERSON_NAMES), True
+    if r < 0.56:
         return rng.choice(_PRON_SUBJ), False
     det, noun = rng.choice(_NP_SUBJ)
     return f"{det} {noun}", True
 
 
 def _np(rng):
+    if rng.random() < 0.10:
+        return rng.choice(_ORG_NAMES)
     return f"{rng.choice(['the', 'a', 'my', 'your', 'his', 'her', 'our'])} {rng.choice(_NOUNS)}"
 
 
 def _pp(rng):
+    if rng.random() < 0.22:
+        return f"{rng.choice(_PREPS)} {rng.choice(_CITY_NAMES)}"
     return f"{rng.choice(_PREPS)} the {rng.choice(_PLACES)}"
 
 

@@ -2,7 +2,8 @@
 
 Emits the reference's ``parsed_result`` row shape
 (/root/reference/aser/extract/utils.py:234-277): tokens, lemmas, pos_tags,
-ners ('O'), mentions ([]), and enhanced-dependency-style edges, 0-based and
+ners + mention spans (deterministic gazetteer NER over the reference's
+TYPE_SET classes), and enhanced-dependency-style edges, 0-based and
 sorted by (governor, dependent) exactly like utils.py:244-245.
 
 Grammar covered (the synthetic transcript corpus stays inside it):
@@ -30,6 +31,45 @@ _TOKEN = re.compile(r"[A-Za-z']+(?:-[A-Za-z']+)*|\d+(?:\.\d+)?|[.,!?;:]")
 _NOUNISH = ("NN", "NNS", "NNP", "NNPS")
 _NP_INNER = ("DT", "PRP$", "JJ", "CD", "NN", "NNS", "NNP")
 _BE_TAGS = ("VB", "VBP", "VBZ", "VBD", "VBN", "VBG")
+
+# Deterministic NER gazetteer (stands in for CoreNLP's ner annotator over
+# the synthetic corpus).  Classes come from the reference's TYPE_SET
+# (utils.py:12) — the set its mention builder keeps.  Capitalized
+# occurrences tag NNP with the SURFACE form as lemma (CoreNLP's NNP
+# lemmatization) and the class in ``ners``; maximal same-class runs become
+# mention dicts shaped like utils.py:259-269.
+NER_GAZETTEER = {
+    "alice": "PERSON", "bob": "PERSON", "carol": "PERSON", "dave": "PERSON",
+    "erin": "PERSON", "frank": "PERSON", "grace": "PERSON", "heidi": "PERSON",
+    "paris": "CITY", "london": "CITY", "tokyo": "CITY", "boston": "CITY",
+    "acme": "ORGANIZATION", "globex": "ORGANIZATION",
+    "initech": "ORGANIZATION", "corp": "ORGANIZATION",
+}
+
+
+def _ner_spans(tokens, tags):
+    """(ners, mentions) from the gazetteer over NNP-tagged tokens."""
+    n = len(tokens)
+    ners = [
+        NER_GAZETTEER.get(tok.lower(), "O") if tag == "NNP" else "O"
+        for tok, tag in zip(tokens, tags)
+    ]
+    mentions = []
+    i = 0
+    while i < n:
+        if ners[i] == "O":
+            i += 1
+            continue
+        j = i
+        while j + 1 < n and ners[j + 1] == ners[i]:
+            j += 1
+        mentions.append({
+            "start": i, "end": j + 1,
+            "text": " ".join(tokens[i:j + 1]),
+            "ner": ners[i], "link": None, "entity": None,
+        })
+        i = j + 1
+    return ners, mentions
 
 
 def split_sentences(text: str):
@@ -446,7 +486,11 @@ def _constituency(clauses, tokens, tags):
 def parse_sentence(sentence: str):
     """Parse one sentence into the reference parsed_result dict shape."""
     tokens = tokenize(sentence)
-    tagged = [tag_and_lemma(t) for t in tokens]
+    tagged = [
+        ("NNP", t) if t[:1].isupper() and t.lower() in NER_GAZETTEER
+        else tag_and_lemma(t)
+        for t in tokens
+    ]
     tags = [t for t, _ in tagged]
     lemmas = [l for _, l in tagged]
     _retag(tokens, tags, lemmas)
@@ -505,13 +549,14 @@ def parse_sentence(sentence: str):
                 deps.append((root, "punct", i))
 
     uniq = sorted(set(deps), key=lambda e: (e[0], e[2]))
+    ners, mentions = _ner_spans(tokens, tags)
     return {
         "text": sentence,
         "tokens": tokens,
         "lemmas": lemmas,
         "pos_tags": tags,
-        "ners": ["O"] * len(tokens),
-        "mentions": [],
+        "ners": ners,
+        "mentions": mentions,
         "parse": _constituency(clauses, tokens, tags),
         "dependencies": [e for e in uniq if e[0] != e[2]],
     }

@@ -27,7 +27,7 @@ from pathlib import Path
 
 STAGE_DIR = os.environ.get("ASER_ORACLE_STAGE_DIR", "/tmp/aser_spark_oracle")
 # bump when the staged layout or the generator/kernel semantics change
-STAGE_VERSION = 10  # r3: real discourse LR classifiers (D2-D6)
+STAGE_VERSION = 11  # r3: real discourse classifiers + gazetteer NER/mentions
 
 _INSTANCE_COLS = [
     ("kind", "string"), ("conv_id", "string"), ("turn_idx", "int32"),

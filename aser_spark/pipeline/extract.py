@@ -74,6 +74,7 @@ def _sentence_cache(mode: str = "seed"):
                 return extract_sentence_eventualities_discourse(
                     p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
                     syntax_tree=tree, ners=p.get("ners"),
+                    mentions=p.get("mentions"),
                     prev_ctx=prev_ctx, next_ctx=next_ctx)
 
             def one(sentence: str, prev_ctx=None, next_ctx=None):
@@ -87,7 +88,7 @@ def _sentence_cache(mode: str = "seed"):
                 p = parse_sentence(sentence)
                 evs = extract_sentence_eventualities(
                     p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
-                    ners=p.get("ners"))
+                    ners=p.get("ners"), mentions=p.get("mentions"))
                 return p, evs
 
         _SENT_MEMOS[mode] = one

@@ -14,7 +14,7 @@ from .dedup import (exact_duplicates, minhash_signatures, lsh_candidate_pairs,
 from .quality import (document_fingerprint, language_id, quality_scores,
                       token_stats)
 from .similarity import (brute_force_cosine_topk, embedding_near_duplicates,
-                         ivf_ann_topk,
+                         ivf_ann_topk, ivf_ann_topk_grid,
                          hyperplane_signatures, lsh_ann_topk,
                          lsh_candidate_vector_pairs, lsh_table_signatures,
                          rademacher_planes, suggest_n_planes)

@@ -341,6 +341,51 @@ def ivf_ann_topk(embeddings: DataFrame, k: int = 5, n_lists: int = 16,
             .select("qid", "rank", "cid", "cos_sim"))
 
 
+def ivf_ann_topk_grid(embeddings: DataFrame, k: int = 5, n_lists: int = 8,
+                      n_probe: int = 2) -> DataFrame:
+    """Deterministic IVF variant: identical list/probe/rerank PLAN to
+    ``ivf_ann_topk`` but with the trained k-means quantizer replaced by a
+    fixed seeding — centroids are the ``n_lists`` lowest-vec_id vectors
+    (k-means seeding frozen at initialization).  Every stage is a codegen
+    expression (no UDF, no ML fit), so a SQL oracle can replay the exact
+    assignment; recall behaves like one k-means iteration's and degrades
+    to exact brute force at ``n_probe = n_lists``.
+
+    Distances use the dot-product identity ``|a|^2 - 2a.b + |b|^2`` rounded
+    to 6dp before the argmin (ties broken by list id), so engines whose
+    float accumulation differs in the last bits still agree on the
+    assignment."""
+    cents = (embeddings.orderBy("vec_id").limit(n_lists)
+             .select(F.col("vec_id").alias("list_id"),
+                     F.col("embedding").alias("_cemb")))
+    sqd = F.round(
+        _dot(F.col("embedding"), F.col("embedding"))
+        - 2.0 * _dot(F.col("embedding"), F.col("_cemb"))
+        + _dot(F.col("_cemb"), F.col("_cemb")), 6)
+    d = (embeddings.select("vec_id", "embedding")
+         .crossJoin(F.broadcast(cents))
+         .select("vec_id", "list_id", sqd.alias("_sqd")))
+    w = Window.partitionBy("vec_id").orderBy("_sqd", "list_id")
+    ranked = d.withColumn("_rn", F.row_number().over(w))
+    assigned = (ranked.filter(F.col("_rn") == 1)
+                .select(F.col("vec_id").alias("cid_"),
+                        F.col("list_id").alias("_list")))
+    probes = (ranked.filter(F.col("_rn") <= n_probe)
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("list_id").alias("_probe")))
+    cands = (probes.join(assigned, probes._probe == assigned._list)
+             .filter(F.col("qid") != F.col("cid_"))
+             .select(F.col("qid").alias("vec_a"),
+                     F.col("cid_").alias("vec_b"))
+             .distinct())
+    scored = _rerank_pairs(embeddings, cands).select(
+        F.col("vec_a").alias("qid"), F.col("vec_b").alias("cid"), "cos_sim")
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "cid", "cos_sim"))
+
+
 def lsh_ann_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 8,
                  n_tables: int = 4) -> DataFrame:
     """Approximate top-k: candidates collide in any table; exact cosine

@@ -55,6 +55,7 @@ def load_reference():
 
     ev_ext = SeedRuleEventualityExtractor.__new__(SeedRuleEventualityExtractor)
     ev_ext.skip_words = set(CLAUSE_WORDS)
+    ev_ext.is_externel_corenlp = True  # silence __del__ on the __new__ instance
     rel_ext = SeedRuleRelationExtractor.__new__(SeedRuleRelationExtractor)
     return ev_ext, rel_ext
 

@@ -146,6 +146,54 @@ def test_salted_sum_matches_plain(spark, transcripts):
     assert plain == salted
 
 
+def test_incremental_upsert_equivalence(spark, transcripts):
+    """Incremental ingest (the reference's node/edge frequency '+='
+    upsert, kg_connection.py:257-341): merging the AGGREGATED KGs of two
+    disjoint extraction batches equals building one KG over their union —
+    frequencies and edge weights sum exactly, payload columns agree."""
+    from pyspark.sql import functions as F
+
+    from aser_spark.pipeline import extract_graph_instances
+    from aser_spark.pipeline.aggregate import (aggregate_edges,
+                                               aggregate_nodes,
+                                               edges_from_instances,
+                                               nodes_from_instances)
+    from aser_spark.pipeline.graph import merge_kgs
+
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    kgs = []
+    for i in (0, 1):
+        inst = extract_graph_instances(transcripts.filter(half == i))
+        kgs.append((aggregate_nodes(nodes_from_instances(inst)),
+                    aggregate_edges(edges_from_instances(inst))))
+    merged_nodes, merged_edges = merge_kgs([n for n, _ in kgs],
+                                           [e for _, e in kgs])
+
+    inst_full = extract_graph_instances(transcripts)
+    full_nodes = aggregate_nodes(nodes_from_instances(inst_full))
+    full_edges = aggregate_edges(edges_from_instances(inst_full))
+
+    def rows(df, val):
+        df = df.withColumn(val, F.round(val, 6))
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(merged_nodes, "frequency") == rows(full_nodes, "frequency")
+    assert rows(merged_edges, "weight") == rows(full_edges, "weight")
+
+
+def test_checkpoint_mode_mismatch_fails_fast(spark, transcripts, tmp_path):
+    """Resuming a workdir under a different extraction mode must raise —
+    the seed and discourse kernels emit different eids/relations."""
+    from aser_spark.pipeline.checkpoint import run_extraction_checkpointed
+
+    wd = str(tmp_path / "kg_mode")
+    run_extraction_checkpointed(spark, transcripts.limit(50), wd, n_parts=4,
+                                mode="seed")
+    with pytest.raises(ValueError, match="mode"):
+        run_extraction_checkpointed(spark, transcripts.limit(50), wd,
+                                    n_parts=4, mode="discourse")
+
+
 def test_checkpoint_resume(spark, transcripts, tmp_path):
     from aser_spark.pipeline.checkpoint import (done_part_ids,
                                                 run_extraction_checkpointed)

@@ -55,16 +55,24 @@ PREPOSITIONS = frozenset(
 # uniformly; CoreNLP would say WRB, but the clause machinery is identical)
 SUBORDINATORS = frozenset(
     "because if although unless before after until while since so "
-    "when whenever where once whereas though".split()
+    "when whenever where once whereas though as lest till that".split()
 )
 
-COORDINATORS = frozenset(("and", "but", "or"))
+COORDINATORS = frozenset(("and", "but", "or", "nor"))
 
 ADVERBS = frozenset(
     "loudly quickly slowly carefully quietly badly early late again often "
     "always never now here there_rb soon together well instead however "
     "meanwhile therefore thus then also too yesterday tomorrow first "
-    "alone everywhere".split()
+    "alone everywhere "
+    # explicit-connective adverbials (PDTB inventory) the fallback would
+    # otherwise misread as nouns
+    "accordingly additionally afterward alternatively besides consequently "
+    "conversely earlier else finally further furthermore hence indeed "
+    "later likewise moreover nevertheless next nonetheless otherwise "
+    "overall previously rather regardless separately similarly "
+    "simultaneously specifically still thereafter thereby ultimately "
+    "yet plus".split()
 )
 
 ADJECTIVES = frozenset(
@@ -160,6 +168,20 @@ _V = {
     "review": ("review", "reviews", "reviewed", "reviewed", "reviewing"),
     "restart": ("restart", "restarts", "restarted", "restarted", "restarting"),
     "crash": ("crash", "crashes", "crashed", "crashed", "crashing"),
+    "say": ("say", "says", "said", "said", "saying"),
+    "think": ("think", "thinks", "thought", "thought", "thinking"),
+    "know": ("know", "knows", "knew", "known", "knowing"),
+    "take": ("take", "takes", "took", "taken", "taking"),
+    "hold": ("hold", "holds", "held", "held", "holding"),
+    "mean": ("mean", "means", "meant", "meant", "meaning"),
+    "keep": ("keep", "keeps", "kept", "kept", "keeping"),
+    "become": ("become", "becomes", "became", "become", "becoming"),
+    "hear": ("hear", "hears", "heard", "heard", "hearing"),
+    # NB: no "meet" entry — "meeting" is a corpus NOUN and lookup checks
+    # VERB_FORMS before NOUNS
+    "pay": ("pay", "pays", "paid", "paid", "paying"),
+    "spend": ("spend", "spends", "spent", "spent", "spending"),
+    "stand": ("stand", "stands", "stood", "stood", "standing"),
 }
 
 # word -> (tag, lemma) for every inflected verb form

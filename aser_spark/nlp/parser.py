@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import re
 
-from .lexicon import (AMBIG_VBN, COORDINATORS, SUBORDINATORS, tag_and_lemma)
+from .lexicon import COORDINATORS, SUBORDINATORS, tag_and_lemma
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
 _TOKEN = re.compile(r"[A-Za-z']+(?:-[A-Za-z']+)*|\d+(?:\.\d+)?|[.,!?;:]")
@@ -115,7 +115,10 @@ def _retag(tokens, tags, lemmas):
             nxt = tags[i + 1] if i + 1 < n else "."
             if nxt.startswith("VB") or nxt == "MD":  # demonstrative subject
                 tags[i], lemmas[i] = "DT", "that"
-        elif tags[i] == "VBD" and w in AMBIG_VBN:
+        elif tags[i] == "VBD":
+            # VBD immediately after a be/have auxiliary (skipping adverbs)
+            # reads as a participle — lexicon ambi-forms AND out-of-
+            # vocabulary regular "-ed" verbs alike ("the wall was chalked")
             j = i - 1
             while j >= 0 and tags[j] == "RB":
                 j -= 1
@@ -127,6 +130,20 @@ def _retag(tokens, tags, lemmas):
             # noun/verb-ambiguous word inside an NP chunk ("the test",
             # "a review") -> noun reading
             tags[i], lemmas[i] = "NN", w
+        elif tags[i] in ("NN", "NNS", "JJ") and i > 0:
+            # base verb after an auxiliary chain ("did not portray",
+            # "did not cross", "did not light", "will persist"): the
+            # suffix fallback reads suffixless unknowns as NN/NNS and the
+            # lexicon may know the word as an adjective; an MD / do / TO
+            # governor (skipping adverbs) forces the VB reading
+            j = i - 1
+            while j >= 0 and tags[j] == "RB":
+                j -= 1
+            if j >= 0 and (
+                tags[j] == "MD" or tags[j] == "TO"
+                or (lemmas[j] == "do" and tags[j].startswith("VB"))
+            ):
+                tags[i], lemmas[i] = "VB", w
 
 
 def _split_clauses(tags, lemmas):

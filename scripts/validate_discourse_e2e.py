@@ -127,6 +127,14 @@ def main():
 
     docs = [[s] for s in HAND_SENTENCES]  # each hand sentence = 1-sent doc
     docs.append(list(HAND_SENTENCES))     # + one doc with all of them
+    # out-of-generator corpus: PDTB-vocabulary sentences the transcript
+    # generator never produces (scripts/gen_oog_corpus.py) — on these the
+    # classifiers see in-vocabulary features, so parity exercises real
+    # model decisions
+    oog = REPO / "fixtures" / "oog_docs.jsonl"
+    if oog.exists():
+        with oog.open() as f:
+            docs.extend(json.loads(line)["doc_texts"] for line in f)
     for ci in range(n_convs):
         docs.append([r[3] for r in gen_conversation_rows(42, ci)])
 

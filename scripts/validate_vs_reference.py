@@ -121,14 +121,26 @@ def main():
     mismatched_paras = 0
     golden_ev, golden_rel = [], []
 
+    # paragraphs = generated conversations + the out-of-generator corpus
+    # (fixtures/oog_docs.jsonl, PDTB-vocabulary sentences the generator
+    # never produces — seed-kernel parity beyond the synthetic grammar)
+    paragraphs = []
     for conv_idx in range(n_convs):
         rows = gen_conversation_rows(42, conv_idx)
+        paragraphs.append((rows[0][0], [text for _, _, _, text, _, _ in rows]))
+    oog = REPO / "fixtures" / "oog_docs.jsonl"
+    if oog.exists():
+        with oog.open() as f:
+            paragraphs.extend(
+                (f"oog-{i}", json.loads(line)["doc_texts"])
+                for i, line in enumerate(f))
+
+    for conv_id, texts in paragraphs:
         # paragraph = the WHOLE conversation, sentences stably ordered by
         # (turn_idx, sent_idx) — this is the conv_id relation window
         # (SURVEY.md §1.4: reference paragraph <-> conversation).
-        conv_id = rows[0][0]
         parsed = []
-        for _, turn_idx, role, text, tool, ts in rows:
+        for text in texts:
             parsed.extend(parse_text(text))
 
         r_ev, r_rel = reference_extract(ev_ext, rel_ext, parsed)

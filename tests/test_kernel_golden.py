@@ -14,17 +14,14 @@ from collections import Counter
 N_CONVS = 150  # prefix of the frozen corpus, for test-time speed
 
 
-def _our_extraction(conv_idx):
-    from aser_spark.datagen.transcripts import gen_conversation_rows
+def _extract_paragraph(conv_id, texts):
     from aser_spark.kernel import (extract_paragraph_relations,
                                    extract_sentence_eventualities)
     from aser_spark.nlp import parse_text
 
-    rows = gen_conversation_rows(42, conv_idx)
-    conv_id = rows[0][0]
     parsed = []
-    for r in rows:
-        parsed.extend(parse_text(r[3]))
+    for t in texts:
+        parsed.extend(parse_text(t))
     para_evs = [
         extract_sentence_eventualities(s["tokens"], s["lemmas"],
                                        s["pos_tags"], s["dependencies"])
@@ -34,6 +31,21 @@ def _our_extraction(conv_idx):
     rel = Counter((conv_id, h, s, t)
                   for h, t, s, w in extract_paragraph_relations(parsed, para_evs))
     return conv_id, ev, rel
+
+
+def _corpus_paragraphs(fixtures_dir):
+    """(para_id, texts) for the golden corpus prefix: generated
+    conversations + the out-of-generator PDTB-vocabulary docs."""
+    from aser_spark.datagen.transcripts import gen_conversation_rows
+
+    out = []
+    for ci in range(N_CONVS):
+        rows = gen_conversation_rows(42, ci)
+        out.append((rows[0][0], [r[3] for r in rows]))
+    with open(fixtures_dir / "oog_docs.jsonl") as f:
+        for i, line in enumerate(f):
+            out.append((f"oog-{i}", json.loads(line)["doc_texts"]))
+    return out
 
 
 def _load_goldens(fixtures_dir, conv_ids):
@@ -60,8 +72,8 @@ def _pr(ours, ref):
 def test_triple_precision_recall_vs_reference(fixtures_dir):
     our_ev, our_rel = Counter(), Counter()
     conv_ids = set()
-    for ci in range(N_CONVS):
-        conv_id, ev, rel = _our_extraction(ci)
+    for para_id, texts in _corpus_paragraphs(fixtures_dir):
+        conv_id, ev, rel = _extract_paragraph(para_id, texts)
         conv_ids.add(conv_id)
         our_ev.update(ev)
         our_rel.update(rel)

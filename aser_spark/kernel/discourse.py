@@ -1366,35 +1366,32 @@ def extract_document_eventualities_discourse(doc_parsed, syntax_trees,
     ]
 
 
-def extract_sentence_eventualities_discourse(tokens, lemmas, pos_tags,
-                                             dependencies, syntax_tree=None,
-                                             use_lemma=True, ners=None,
-                                             mentions=None, prev_ctx=None,
-                                             next_ctx=None):
-    """Discourse-path eventualities for ONE parsed sentence, sorted by
-    sentence-coordinate position.  Records match the seed kernel's shape;
-    ``raw_indices``/``position`` are in SENTENCE coordinates.
+def sentence_connective_separators(tokens, pos_tags, syntax_tree,
+                                   prev_ctx=None, next_ctx=None):
+    """Classifier-accepted connective token positions for ONE sentence,
+    as a sorted tuple (a cache-friendly key: distinct (prev, next)
+    contexts usually yield the SAME separators, so downstream clause
+    re-extraction can be memoized on (sentence, separators) instead of
+    the much higher-cardinality context key).
 
-    Equals the document-level extraction exactly when ``prev_ctx`` /
+    Equals the document-level computation exactly when ``prev_ctx`` /
     ``next_ctx`` carry the (token, pos_tag) adjacent to this sentence in
     the document: the D2 connective features leak at most ONE token across
     each sentence boundary (prev/prevpos via get_prev_token_index,
     conn_next/nextpos via get_next_token_index, utils.py:407-470 with no
     skip set), so a one-token context stub reproduces the document-level
-    feature values bit-for-bit — which is what makes per-sentence
-    memoization of this function valid (pipeline/extract.py)."""
+    feature values bit-for-bit."""
+    from .discourse_models import load_discourse_models
+
     doc = []
     if prev_ctx is not None:
         doc.append({"tokens": [prev_ctx[0]], "pos_tags": [prev_ctx[1]],
                     "lemmas": [prev_ctx[0]], "dependencies": []})
     sent_idx = len(doc)
-    doc.append({"tokens": tokens, "lemmas": lemmas, "pos_tags": pos_tags,
-                "dependencies": dependencies})
+    doc.append({"tokens": tokens, "pos_tags": pos_tags})
     if next_ctx is not None:
         doc.append({"tokens": [next_ctx[0]], "pos_tags": [next_ctx[1]],
                     "lemmas": [next_ctx[0]], "dependencies": []})
-
-    from .discourse_models import load_discourse_models
 
     models = load_discourse_models()
     sep = set()
@@ -1404,6 +1401,21 @@ def extract_sentence_eventualities_discourse(tokens, lemmas, pos_tags,
                                              syntax_tree)
         if models.is_connective(strings):
             sep.update(c["indices"])
+    return tuple(sorted(sep))
+
+
+def extract_sentence_eventualities_discourse(tokens, lemmas, pos_tags,
+                                             dependencies, syntax_tree=None,
+                                             use_lemma=True, ners=None,
+                                             mentions=None, prev_ctx=None,
+                                             next_ctx=None):
+    """Discourse-path eventualities for ONE parsed sentence, sorted by
+    sentence-coordinate position.  Records match the seed kernel's shape;
+    ``raw_indices``/``position`` are in SENTENCE coordinates.  See
+    ``sentence_connective_separators`` for the context-stub equivalence
+    with document-level extraction."""
+    sep = sentence_connective_separators(tokens, pos_tags, syntax_tree,
+                                         prev_ctx, next_ctx)
     return _sentence_clause_eventualities(
-        tokens, lemmas, pos_tags, dependencies, syntax_tree, sep,
+        tokens, lemmas, pos_tags, dependencies, syntax_tree, set(sep),
         use_lemma=use_lemma, ners=ners, mentions=mentions)

@@ -1,4 +1,4 @@
-"""Numpy inference for the reference's six discourse LR classifiers
+"""Numpy-free inference for the reference's six discourse LR classifiers
 (D2 ConnectiveExtractor, D3 ArgumentPositionClassifier, D4 ss_arg,
 D5 ps_arg1/ps_arg2, D6 ExplicitSenseClassifier).
 
@@ -17,11 +17,17 @@ exactly:
   both monotone per-row transforms of the decision scores
   (discourse_parser.py:2080-2088).
 
-Sparse features are ``{global_index: value}`` dicts produced by
-``aser_spark.kernel.discourse.merge_feature_vector`` (bit-exact vs the
-reference featurizers, see fixtures/golden_connective_features.jsonl);
-the dot product accumulates in insertion order = ascending index order,
-matching scipy's CSR stored-order accumulation.
+Hot-path layout: at load time each model is compiled into a per-family
+``{feature string: weight row}`` program, so scoring a featurized
+candidate is a handful of dict lookups + float adds — no sparse vector is
+materialized and no numpy call happens per row.  Accumulation order is
+family order then first-occurrence order within a family, identical to
+the reference's ``Feature.merge_features`` dict insertion order and hence
+to scipy's CSR stored-order dot — sums are bit-equal (duplicate strings
+inside a 'list' family collapse to one hit, exactly like the reference's
+``feat_dict[idx] = 1`` overwrite).  The featurizers themselves live in
+``kernel.discourse`` and are bit-exact vs the reference
+(fixtures/golden_connective_features.jsonl).
 
 One process-wide singleton: the worker loads ~3 MB of weights + ~175k
 vocab strings once (Spark python workers are reused across tasks), so at
@@ -33,8 +39,6 @@ from __future__ import annotations
 import gzip
 import json
 import threading
-
-import numpy as np
 
 # reference predict_label_dict (discourse_parser.py:1802-1818)
 SENSE_LABELS = {
@@ -51,106 +55,137 @@ _CONN_CATEGORY = {"subordinator": 0, "coordinator": 1, "adverbial": 2}
 _CONN_NT_POSITION = {"right": 0, "left": 1}
 
 
-class _LinearModel:
-    __slots__ = ("coef", "intercept", "classes")
+class _CompiledModel:
+    """families + per-family {string: weight row} + intercept/classes.
 
-    def __init__(self, coef, intercept, classes):
-        self.coef = np.ascontiguousarray(coef, dtype=np.float64)
-        self.intercept = np.ascontiguousarray(intercept, dtype=np.float64)
-        self.classes = classes
+    ``prog`` entries: (family, kind, lut) with kind 'feat' | 'list'
+    (lut: string -> tuple of per-class weights) or 'raw' (lut: the weight
+    row itself, multiplied by the raw numeric value)."""
 
-    def decision(self, feat_dict):
-        """x . coef.T + intercept for one sparse row, accumulated in the
-        dict's (ascending-index) insertion order per class row."""
-        scores = self.intercept.copy()
-        coef = self.coef
-        for idx, val in feat_dict.items():
-            if val == 1:
-                scores += coef[:, idx]
-            else:
-                scores += coef[:, idx] * val
-        return scores
+    __slots__ = ("prog", "intercept", "classes", "n_classes")
 
-    def predict(self, feat_dict):
-        scores = self.decision(feat_dict)
-        if self.coef.shape[0] == 1:
-            return int(self.classes[1] if scores[0] > 0 else self.classes[0])
-        return int(self.classes[int(np.argmax(scores))])
+    def __init__(self, coef, intercept, classes, families, vocab):
+        coef_t = coef.T.tolist()  # [n_features][n_classes]
+        self.intercept = tuple(float(b) for b in intercept)
+        self.classes = [int(c) for c in classes]
+        self.n_classes = coef.shape[0]
+        prog = []
+        offset = 0
+        for family, kind in families:
+            if kind == "raw":
+                prog.append((family, "raw", tuple(coef_t[offset])))
+                offset += 1
+                continue
+            fam_vocab = vocab[family]
+            lut = {s: tuple(coef_t[offset + i]) for s, i in fam_vocab.items()}
+            prog.append((family, kind, lut))
+            offset += len(fam_vocab)
+        assert offset == coef.shape[1], (offset, coef.shape)
+        self.prog = prog
+
+    def decision(self, strings):
+        out = list(self.intercept)
+        n = self.n_classes
+        for family, kind, lut in self.prog:
+            if kind == "feat":
+                w = lut.get(strings[family])
+                if w is not None:
+                    for c in range(n):
+                        out[c] += w[c]
+            elif kind == "list":
+                seen = set()
+                for s in strings[family]:
+                    if s in seen:
+                        continue
+                    seen.add(s)
+                    w = lut.get(s)
+                    if w is not None:
+                        for c in range(n):
+                            out[c] += w[c]
+            else:  # raw numeric passthrough (value 1 -> plain add, exactly
+                # like the reference's binary-hit path; w*1.0 == w bitwise)
+                v = strings[family]
+                if v == 1:
+                    for c in range(n):
+                        out[c] += lut[c]
+                else:
+                    for c in range(n):
+                        out[c] += lut[c] * v
+        return out
+
+    def predict(self, strings) -> int:
+        scores = self.decision(strings)
+        if self.n_classes == 1:
+            return self.classes[1] if scores[0] > 0 else self.classes[0]
+        # first maximal index, like np.argmax
+        best = max(range(len(scores)), key=scores.__getitem__)
+        return self.classes[best]
 
 
 class DiscourseModels:
-    """Frozen vocab dicts + the six linear models, with decision helpers
-    keyed the way the relation pipeline consumes them."""
+    """The six compiled models + the conn_category mapping, with decision
+    helpers keyed the way the relation pipeline consumes them."""
 
     def __init__(self, npz, vocab_json):
-        def model(group):
-            return _LinearModel(npz[f"{group}_coef"],
-                                npz[f"{group}_intercept"],
-                                npz[f"{group}_classes"])
+        from .discourse import (ARGPOS_FEATURE_FAMILIES,
+                                CONNECTIVE_FEATURE_FAMILIES,
+                                EXPLICIT_FEATURE_FAMILIES,
+                                PS_ARG1_FEATURE_FAMILIES,
+                                PS_ARG2_FEATURE_FAMILIES,
+                                SS_ARG_FEATURE_FAMILIES)
 
-        self.conn_model = model("conn")
-        self.argpos_model = model("argpos")
-        self.ss_model = model("ss")
-        self.ps1_model = model("ps1")
-        self.ps2_model = model("ps2")
-        self.explicit_model = model("explicit")
+        def index(fam_lists, **builtin):
+            v = {fam: {s: i for i, s in enumerate(strings)}
+                 for fam, strings in fam_lists.items()}
+            v.update(builtin)
+            return v
 
-        def index(fam_lists):
-            return {fam: {s: i for i, s in enumerate(strings)}
-                    for fam, strings in fam_lists.items()}
+        def model(group, families, vocab):
+            return _CompiledModel(npz[f"{group}_coef"],
+                                  npz[f"{group}_intercept"],
+                                  npz[f"{group}_classes"], families, vocab)
 
-        self.conn_vocab = index(vocab_json["conn"])
-        self.argpos_vocab = index(vocab_json["argpos"])
-        self.argpos_vocab["conn_part"] = dict(_CONN_PART)
-        self.ss_vocab = index(vocab_json["ss"])
-        self.ss_vocab["conn_category"] = dict(_CONN_CATEGORY)
-        self.ss_vocab["conn_nt_position"] = dict(_CONN_NT_POSITION)
-        self.ps1_vocab = index(vocab_json["ps1"])
-        self.ps1_vocab["conn_category"] = dict(_CONN_CATEGORY)
-        self.ps2_vocab = index(vocab_json["ps2"])
-        self.ps2_vocab["conn_category"] = dict(_CONN_CATEGORY)
-        self.explicit_vocab = index(vocab_json["explicit"])
+        self.conn_model = model(
+            "conn", CONNECTIVE_FEATURE_FAMILIES, index(vocab_json["conn"]))
+        self.argpos_model = model(
+            "argpos", ARGPOS_FEATURE_FAMILIES,
+            index(vocab_json["argpos"], conn_part=dict(_CONN_PART)))
+        self.ss_model = model(
+            "ss", SS_ARG_FEATURE_FAMILIES,
+            index(vocab_json["ss"], conn_category=dict(_CONN_CATEGORY),
+                  conn_nt_position=dict(_CONN_NT_POSITION)))
+        self.ps1_model = model(
+            "ps1", PS_ARG1_FEATURE_FAMILIES,
+            index(vocab_json["ps1"], conn_category=dict(_CONN_CATEGORY)))
+        self.ps2_model = model(
+            "ps2", PS_ARG2_FEATURE_FAMILIES,
+            index(vocab_json["ps2"], conn_category=dict(_CONN_CATEGORY)))
+        self.explicit_model = model(
+            "explicit", EXPLICIT_FEATURE_FAMILIES,
+            index(vocab_json["explicit"]))
         self.conn_category = vocab_json["conn_category"]
 
     # --- decisions over feature-STRING dicts (featurizers in discourse.py) ---
 
     def is_connective(self, strings) -> bool:
-        from .discourse import CONNECTIVE_FEATURE_FAMILIES, merge_feature_vector
-        _, fd = merge_feature_vector(strings, self.conn_vocab,
-                                     CONNECTIVE_FEATURE_FAMILIES)
-        return self.conn_model.predict(fd) == 1
+        return self.conn_model.predict(strings) == 1
 
     def is_ps(self, strings) -> bool:
-        from .discourse import ARGPOS_FEATURE_FAMILIES, merge_feature_vector
-        _, fd = merge_feature_vector(strings, self.argpos_vocab,
-                                     ARGPOS_FEATURE_FAMILIES)
-        return self.argpos_model.predict(fd) == 1
+        return self.argpos_model.predict(strings) == 1
 
     def ss_label(self, strings) -> int:
         """0 = neither, 1 = part of Arg1, 2 = part of Arg2."""
-        from .discourse import SS_ARG_FEATURE_FAMILIES, merge_feature_vector
-        _, fd = merge_feature_vector(strings, self.ss_vocab,
-                                     SS_ARG_FEATURE_FAMILIES)
-        return self.ss_model.predict(fd)
+        return self.ss_model.predict(strings)
 
     def ps1_label(self, strings) -> int:
         """0 = remove clause from implicit Arg1, 1 = keep."""
-        from .discourse import PS_ARG1_FEATURE_FAMILIES, merge_feature_vector
-        _, fd = merge_feature_vector(strings, self.ps1_vocab,
-                                     PS_ARG1_FEATURE_FAMILIES)
-        return self.ps1_model.predict(fd)
+        return self.ps1_model.predict(strings)
 
     def ps2_label(self, strings) -> int:
-        from .discourse import PS_ARG2_FEATURE_FAMILIES, merge_feature_vector
-        _, fd = merge_feature_vector(strings, self.ps2_vocab,
-                                     PS_ARG2_FEATURE_FAMILIES)
-        return self.ps2_model.predict(fd)
+        return self.ps2_model.predict(strings)
 
     def sense(self, strings) -> str:
-        from .discourse import EXPLICIT_FEATURE_FAMILIES, merge_feature_vector
-        _, fd = merge_feature_vector(strings, self.explicit_vocab,
-                                     EXPLICIT_FEATURE_FAMILIES)
-        return SENSE_LABELS[self.explicit_model.predict(fd)]
+        return SENSE_LABELS[self.explicit_model.predict(strings)]
 
 
 _SINGLETON = None
@@ -165,6 +200,8 @@ def load_discourse_models() -> DiscourseModels:
             if _SINGLETON is None:
                 import io
                 from importlib import resources
+
+                import numpy as np
 
                 pkg = resources.files("aser_spark.resources")
                 npz = np.load(io.BytesIO(

@@ -55,31 +55,42 @@ def _sentence_cache(mode: str = "seed"):
         from ..nlp import parse_sentence
 
         if mode == "discourse":
-            from ..kernel.discourse import extract_sentence_eventualities_discourse
+            from ..kernel.discourse import (
+                _sentence_clause_eventualities,
+                sentence_connective_separators)
             from ..nlp.syntax import SyntaxTree
 
-            @lru_cache(maxsize=8192)
+            @lru_cache(maxsize=16384)
             def parse_one(sentence: str):
                 p = parse_sentence(sentence)
                 return p, SyntaxTree(p["parse"])
 
-            @lru_cache(maxsize=16384)
-            def evs_one(sentence: str, prev_ctx, next_ctx):
-                # ctx = (token, pos_tag) adjacent to this sentence in the
-                # conversation (or None at the edges): the ONLY document
-                # state the D2 connective classifier can see
-                # (kernel/discourse.py, one-token boundary leak), so this
-                # key makes sentence memoization exact at document level.
+            # two-level memo: ctx = (token, pos_tag) adjacent to this
+            # sentence in the conversation (or None at the edges) is the
+            # ONLY document state the D2 connective classifier can see
+            # (one-token boundary leak, kernel/discourse.py), so
+            # (sentence, ctx) exactly keys the SEPARATOR decision — while
+            # the expensive clause re-extraction depends only on
+            # (sentence, separators), a far lower-cardinality key that
+            # collapses the many contexts yielding identical separators.
+            @lru_cache(maxsize=65536)
+            def seps_one(sentence: str, prev_ctx, next_ctx):
                 p, tree = parse_one(sentence)
-                return extract_sentence_eventualities_discourse(
-                    p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
-                    syntax_tree=tree, ners=p.get("ners"),
-                    mentions=p.get("mentions"),
-                    prev_ctx=prev_ctx, next_ctx=next_ctx)
+                return sentence_connective_separators(
+                    p["tokens"], p["pos_tags"], tree, prev_ctx, next_ctx)
+
+            @lru_cache(maxsize=16384)
+            def clause_evs(sentence: str, sep: tuple):
+                p, tree = parse_one(sentence)
+                return _sentence_clause_eventualities(
+                    p["tokens"], p["lemmas"], p["pos_tags"],
+                    p["dependencies"], tree, set(sep),
+                    ners=p.get("ners"), mentions=p.get("mentions"))
 
             def one(sentence: str, prev_ctx=None, next_ctx=None):
                 p, tree = parse_one(sentence)
-                return p, evs_one(sentence, prev_ctx, next_ctx), tree
+                sep = seps_one(sentence, prev_ctx, next_ctx)
+                return p, clause_evs(sentence, sep), tree
 
             one.parse = parse_one
         else:

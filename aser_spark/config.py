@@ -28,7 +28,11 @@ def get_spark(app="aser-spark", cpus: int | None = None, shuffle_partitions: int
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local-mode driver == the single executor: size it like a real
+        # executor (measured: a 16g heap GC-thrashes once the KG pipeline
+        # caches instances + aggregates and a second extraction pass runs —
+        # 117s vs 30s for the identical stage at 48g)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

@@ -184,6 +184,19 @@ def _frame(rows, columns):
     return pd.DataFrame(dict(zip(columns, map(list, zip(*rows)))))
 
 
+def _freeze_longlived():
+    """Move the worker's long-lived objects (sentence memos, compiled
+    classifier tables — millions of small objects that survive for the
+    worker's lifetime) out of the cyclic GC's scan set.  Reused python
+    workers otherwise pay full gen2 collections repeatedly inside every
+    allocation-heavy extraction task (measured 1.5x on the discourse
+    kernel once a prior stage's memo is resident).  Called at task start,
+    so anything leaked by the freeze is bounded by tasks-per-worker."""
+    import gc
+
+    gc.freeze()
+
+
 def _group_by_conv(df, num_partitions=None):
     """Hash-repartition by conv_id with an EXPLICIT partition count.
 
@@ -216,6 +229,7 @@ def extract_relations(parsed, num_partitions=None):
         from ..kernel import (extract_paragraph_relations,
                               extract_sentence_eventualities)
 
+        _freeze_longlived()
         out = []
         for conv_id, rows in _conversation_stream(batches, cols):
             sentences, para_evs = [], []
@@ -333,6 +347,7 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
     cols = ["turn_idx", "text"]
 
     def run(batches):
+        _freeze_longlived()
         memo = _sentence_cache(mode)
         out = []
         for conv_id, rows in _conversation_stream(batches, cols):

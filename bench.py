@@ -137,7 +137,13 @@ def main():
     extras["n_entity_links"] = n_links
 
     # --- discourse-mode flagship (v2.0 path: connective LR filter + clause
-    # re-extraction + classifier argument spans + 14-sense LR) ------------
+    # re-extraction + classifier argument spans + 14-sense LR).  Seed-side
+    # caches are released first so the stage is measured in isolation, like
+    # a production run that builds one KG mode at a time. ------------------
+    inst.unpersist(True)
+    nodes.unpersist(True)
+    edges.unpersist(True)
+    core_nodes.unpersist(True)
     t0 = time.time()
     inst_d = extract_graph_instances(transcripts, pre_grouped=True,
                                      mode="discourse").persist()
@@ -151,9 +157,9 @@ def main():
     extras["n_nodes_discourse"] = n_nodes_d
     extras["n_edges_discourse"] = n_edges_d
     extras["turns_per_sec_discourse"] = round(n_turns / kg_d_sec, 1)
+    extras["cpu_calib_after_discourse_sec"] = _cpu_calib()
     inst_d.unpersist()
 
-    inst.unpersist()
     transcripts.unpersist()
     timings["kg_build"] = round(kg_sec, 3)
     extras["kg_gen_sec"] = round(gen_sec, 3)

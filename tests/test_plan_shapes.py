@@ -114,3 +114,31 @@ def test_link_entities_no_window(spark):
     plan = _exec_plan(link_entities(nodes, toy_kb(spark)))
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_ivf_grid_broadcasts_centroids_no_cartesian(spark):
+    """IVF-grid assignment is an N x n_lists broadcast nested loop against
+    the tiny centroid table, never an N x N cartesian: candidate
+    generation goes through the equi-join on the list id."""
+    from aser_spark.textops import ivf_ann_topk_grid
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(ivf_ann_topk_grid(emb, k=2, n_lists=4, n_probe=2), "simple")
+    assert "BroadcastNestedLoopJoin" in plan      # x tiny centroid table
+    assert "CartesianProduct" not in plan
+    # the probe->assigned candidate join is an equi hash join on list id
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or plan.count("BroadcastHashJoin") >= 1
+
+
+def test_node_ner_profiles_two_phase_hash_agg(spark):
+    """NER profile aggregation combines map-side (explode -> partial
+    hash agg) — no windows on the hot eid keys."""
+    from aser_spark.pipeline.aggregate import node_ner_profiles
+
+    inst = spark.createDataFrame(
+        [("e1", 2.0, "PERSON O O")],
+        "eid string, frequency double, ners string")
+    plan = _exec_plan(node_ner_profiles(inst))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2      # partial + final

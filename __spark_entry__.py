@@ -427,7 +427,8 @@ def _q_kg_concepts_multi(spark, sf_dir):
     kg = _kg(spark)
     concept_nodes, _ = aggregate_concepts(
         probase_concepts_multi(kg["nodes"], toy_probase(spark), topk=3,
-                               max_subs=2, min_frequency=2.0))
+                               max_subs=2, min_frequency=2.0,
+                               global_topk=27))  # the reference's topk**topk beam bound
     return concept_nodes.select("words", F.round("score", 4).alias("score"),
                                 "n_instances")
 
@@ -845,10 +846,15 @@ def _kg_oracle_sql() -> dict[str, str]:
             allm AS (
               SELECT eid, frequency, concept_words, CAST(1.0 AS DOUBLE) AS score FROM seed
               UNION ALL SELECT eid, frequency, concept_words, score FROM sub1
-              UNION ALL SELECT eid, frequency, concept_words, score FROM sub2)
+              UNION ALL SELECT eid, frequency, concept_words, score FROM sub2),
+            ranked AS (
+              SELECT eid, frequency, concept_words, score,
+                     ROW_NUMBER() OVER (PARTITION BY eid
+                       ORDER BY score DESC, concept_words ASC) AS rn
+              FROM allm)
             SELECT concept_words AS words, ROUND(SUM(score * frequency), 4) AS score,
                    COUNT(*) AS n_instances
-            FROM allm GROUP BY concept_words
+            FROM ranked WHERE rn <= 27 GROUP BY concept_words
         """,
         "kg_concept_relations": f"""
             WITH {concept_ctes},

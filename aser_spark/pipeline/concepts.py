@@ -91,7 +91,8 @@ def probase_concepts(nodes: DataFrame, probase: DataFrame, topk: int = 3,
 
 def probase_concepts_multi(nodes: DataFrame, probase: DataFrame, topk: int = 3,
                            max_subs: int = 2,
-                           min_frequency: float = 0.0) -> DataFrame:
+                           min_frequency: float = 0.0,
+                           global_topk: int | None = None) -> DataFrame:
     """MULTI-noun hypernym substitution — the reference's combination beam
     (aser_conceptualizer.py:168-215) re-expressed as ``max_subs`` rounds of
     DataFrame expansion instead of a driver-side heap.
@@ -142,7 +143,21 @@ def probase_concepts_multi(nodes: DataFrame, probase: DataFrame, topk: int = 3,
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    return out.select("eid", "pattern", "frequency", "concept_words", "score")
+    out = out.select("eid", "pattern", "frequency", "concept_words", "score")
+    if global_topk:
+        # the reference's global per-eventuality beam bound: keep the
+        # topk**topk best-scoring combinations (its heap,
+        # aser_conceptualizer.py:173-207), expressed as a rank window.
+        # The window partitions on eid — a fact key — but its input is the
+        # already-bounded combination expansion of the (frequency-gated)
+        # conceptualized nodes, not raw instances, so no hot-key funnel.
+        # Remaining documented divergence: the reference's early-break
+        # heuristic (:201-206) can stop enumerating large subsets early.
+        wk = Window.partitionBy("eid").orderBy(F.desc("score"),
+                                               F.asc("concept_words"))
+        out = (out.withColumn("_r", F.row_number().over(wk))
+               .filter(F.col("_r") <= global_topk).drop("_r"))
+    return out
 
 
 def aggregate_concepts(concepts: DataFrame):

@@ -12,6 +12,7 @@ import time
 def main():
     n_convs = int(sys.argv[1])
     cpus = int(sys.argv[2])
+    mode = sys.argv[3] if len(sys.argv) > 3 else "seed"
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -27,7 +28,8 @@ def main():
     t0 = time.time()
     # the generator (like a bucket-sorted Iceberg scan) delivers each
     # conversation contiguously in turn order -> shuffle-free extraction
-    inst = extract_graph_instances(transcripts, pre_grouped=True).persist()
+    inst = extract_graph_instances(transcripts, pre_grouped=True,
+                                   mode=mode).persist()
     nodes, edges, lineage = build_knowledge_graph(inst)
     core_nodes, core_edges = build_core_kg(nodes, edges)
     # materialize with the MINIMUM number of jobs: one multi-aggregate pass
@@ -53,6 +55,7 @@ def main():
 
     print(json.dumps({
         "cpus": cpus,
+        "mode": mode,
         "n_turns": n_turns,
         "kg_sec": round(kg_sec, 2),
         "turns_per_sec": round(n_turns / kg_sec, 1),

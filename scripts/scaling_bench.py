@@ -32,7 +32,7 @@ def build_zip() -> str:
     return zpath
 
 
-def run_once(cpus: int, n_convs: int, pyfiles: str) -> dict:
+def run_once(cpus: int, n_convs: int, pyfiles: str, mode: str = "seed") -> dict:
     # prefer the pip-pyspark spark-submit (same Spark build the rest of the
     # repo runs on); fall back to whatever is on PATH
     candidate = Path(sys.executable).parent / "spark-submit"
@@ -48,7 +48,7 @@ def run_once(cpus: int, n_convs: int, pyfiles: str) -> dict:
          # generous heap: at 16+ task threads the Arrow/UDF allocation rate
          # makes an 8g heap GC-bound and silently destroys scaling
          "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
-         str(JOB), str(n_convs), str(cpus)],
+         str(JOB), str(n_convs), str(cpus), mode],
         capture_output=True, text=True, timeout=3600,
     )
     for line in reversed(out.stdout.strip().splitlines()):
@@ -63,6 +63,7 @@ def main():
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    mode = sys.argv[5] if len(sys.argv) > 5 else "seed"
 
     pyfiles = build_zip()
     # The sandbox VM's effective CPU capacity varies over time (shared
@@ -75,7 +76,7 @@ def main():
     runs_low, runs_high = [], []
     order = [(low, runs_low), (high, runs_high)] * repeats
     for i, (cpus, bucket) in enumerate(order):
-        r = run_once(cpus, n_convs, pyfiles)
+        r = run_once(cpus, n_convs, pyfiles, mode)
         bucket.append(r)
         print(f"run {i + 1}/{len(order)} local[{cpus}]: "
               f"{r['turns_per_sec']} turns/s", file=sys.stderr, flush=True)

@@ -33,10 +33,12 @@ from ..pipeline.extract import extract_graph_instances
 
 
 def stream_extract_transcripts(spark, input_path: str, workdir: str,
-                               available_now: bool = True):
+                               available_now: bool = True,
+                               mode: str = "seed"):
     """Start (and with available_now=True, run to completion) a streaming
     query that extracts graph instances from transcript parquet files as
-    they land under ``input_path``."""
+    they land under ``input_path``.  ``mode`` selects the extraction
+    kernel ('seed' | 'discourse'), same as the batch path."""
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 8)
@@ -44,7 +46,8 @@ def stream_extract_transcripts(spark, input_path: str, workdir: str,
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        inst = extract_graph_instances(batch_df.select("conv_id", "turn_idx", "text"))
+        inst = extract_graph_instances(
+            batch_df.select("conv_id", "turn_idx", "text"), mode=mode)
         (inst.withColumn("batch_id", F.lit(batch_id))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")

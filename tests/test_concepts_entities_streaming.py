@@ -92,7 +92,11 @@ def test_multimodal_plumbing(spark):
         extract_media_features(media, strict=True).collect()
 
 
-def test_streaming_ingest_matches_batch(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["seed", "discourse"])
+def test_streaming_ingest_matches_batch(spark, tmp_path, mode):
     from aser_spark.datagen import transcripts_df
     from aser_spark.pipeline import extract_graph_instances
     from aser_spark.streaming import stream_extract_transcripts
@@ -102,18 +106,20 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
     t = transcripts_df(spark, 20, seed=42)
     t.write.mode("overwrite").parquet(src)
 
-    q = stream_extract_transcripts(spark, src, wd, available_now=True)
+    q = stream_extract_transcripts(spark, src, wd, available_now=True,
+                                   mode=mode)
     q.awaitTermination(120)
 
     streamed = spark.read.parquet(f"{wd}/instances_stream")
-    batch = extract_graph_instances(t)
+    batch = extract_graph_instances(t, mode=mode)
     assert streamed.count() == batch.count()
     a = streamed.groupBy("kind").count().collect()
     b = batch.groupBy("kind").count().collect()
     assert {(r.kind, r['count']) for r in a} == {(r.kind, r['count']) for r in b}
 
     # idempotent restart: availableNow again processes nothing new
-    q2 = stream_extract_transcripts(spark, src, wd, available_now=True)
+    q2 = stream_extract_transcripts(spark, src, wd, available_now=True,
+                                    mode=mode)
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{wd}/instances_stream").count() == batch.count()
 

@@ -37,11 +37,16 @@ def _ship_package(spark: SparkSession) -> None:
         return
     zpath = Path("/tmp/aser_spark_pkg.zip")
     src = REPO / "aser_spark"
-    stamp = max(p.stat().st_mtime for p in src.rglob("*.py"))
+    # code + data resources (frozen discourse classifier weights/vocabs):
+    # executors on a real cluster see only this zip; discourse_models.py
+    # loads via importlib.resources so the zip works without extraction
+    members = [p for pat in ("*.py", "*.npz", "*.json.gz")
+               for p in src.rglob(pat)]
+    stamp = max(p.stat().st_mtime for p in members)
     if not zpath.exists() or zpath.stat().st_mtime < stamp:
         tmp = zpath.with_suffix(".zip.tmp")
         with zipfile.ZipFile(tmp, "w") as z:
-            for p in src.rglob("*.py"):
+            for p in members:
                 z.write(p, p.relative_to(REPO))
         os.replace(tmp, zpath)
     spark.sparkContext.addPyFile(str(zpath))

@@ -27,8 +27,13 @@ JOB = REPO / "scripts" / "_kg_job.py"
 def build_zip() -> str:
     zpath = "/tmp/aser_spark_submit.zip"
     with zipfile.ZipFile(zpath, "w") as z:
-        for p in (REPO / "aser_spark").rglob("*.py"):
-            z.write(p, p.relative_to(REPO))
+        # ship data resources (frozen discourse classifier weights/vocabs)
+        # alongside the code — executors on a real cluster see ONLY this
+        # zip, and kernel/discourse_models.py loads via importlib.resources
+        # precisely so the zip works without extraction
+        for pat in ("*.py", "*.npz", "*.json.gz"):
+            for p in (REPO / "aser_spark").rglob(pat):
+                z.write(p, p.relative_to(REPO))
     return zpath
 
 

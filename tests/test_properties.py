@@ -104,3 +104,78 @@ def test_discourse_path_deterministic(text):
     assert [[e["eid"] for e in evs] for evs in a[1]] == \
            [[e["eid"] for e in evs] for evs in b[1]]
     assert a[2] == b[2]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_compiled_lr_scoring_matches_sklearn_semantics(data):
+    """The compiled per-family {string: weight} scorer must reproduce
+    sklearn-0.22 LogisticRegression.predict over the frozen weights for
+    ARBITRARY feature-string dicts: decision = x.coef^T + intercept with
+    binary-threshold / argmax semantics (numpy brute force as the oracle)."""
+    import numpy as np
+
+    from aser_spark.kernel.discourse import (EXPLICIT_FEATURE_FAMILIES,
+                                             SS_ARG_FEATURE_FAMILIES,
+                                             merge_feature_vector)
+    from aser_spark.kernel.discourse_models import load_discourse_models
+
+    m = load_discourse_models()
+    cases = [
+        (m.ss_model, SS_ARG_FEATURE_FAMILIES),
+        (m.explicit_model, EXPLICIT_FEATURE_FAMILIES),
+    ]
+    model, families = data.draw(st.sampled_from(cases))
+
+    # build a random strings dict: per family draw a real vocab string,
+    # an out-of-vocab string, or (for raw families) a small int
+    strings = {}
+    for family, kind, lut in model.prog:
+        if kind == "raw":
+            strings[family] = data.draw(st.integers(0, 3))
+            continue
+        keys = list(lut)[:50]
+        pick = st.one_of(st.sampled_from(keys) if keys else st.just("~oov~"),
+                         st.just("~oov~"))
+        if kind == "feat":
+            strings[family] = data.draw(pick)
+        else:
+            strings[family] = data.draw(st.lists(pick, max_size=4))
+
+    # numpy oracle over the ORIGINAL frozen matrices
+    raw_npz, raw_vocab = _frozen_resources()
+    group = "ss" if families is SS_ARG_FEATURE_FAMILIES else "explicit"
+    fam_lists = raw_vocab[group]
+    full_vocab = {f: {s: i for i, s in enumerate(l)} for f, l in fam_lists.items()}
+    full_vocab.setdefault("conn_category",
+                          {"subordinator": 0, "coordinator": 1, "adverbial": 2})
+    full_vocab.setdefault("conn_nt_position", {"right": 0, "left": 1})
+    dim, fd = merge_feature_vector(strings, full_vocab, families)
+    coef = raw_npz[f"{group}_coef"]
+    b = raw_npz[f"{group}_intercept"]
+    x = np.zeros(dim)
+    for i, v in fd.items():
+        x[i] = v
+    scores = x @ coef.T + b
+    classes = raw_npz[f"{group}_classes"]
+    want = int(classes[int(np.argmax(scores))])
+
+    assert model.predict(strings) == want
+
+
+def _frozen_resources():
+    """(npz, vocab_json) of the packaged classifier resources, cached."""
+    if not hasattr(_frozen_resources, "_cache"):
+        import gzip
+        import io
+        import json as _json
+        from importlib import resources
+
+        import numpy as np
+
+        pkg = resources.files("aser_spark.resources")
+        npz = np.load(io.BytesIO((pkg / "discourse_models.npz").read_bytes()))
+        vocab = _json.loads(gzip.decompress(
+            (pkg / "discourse_vocab.json.gz").read_bytes()))
+        _frozen_resources._cache = (npz, vocab)
+    return _frozen_resources._cache

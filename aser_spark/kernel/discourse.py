@@ -170,6 +170,24 @@ def match_argument_eventuality(arg_indices, eventuality, method: str = "Simpson"
     return inter / denom >= threshold
 
 
+def match_argument_eventuality_by_dependencies(sent_parsed, arg_indices,
+                                               eventuality,
+                                               conn_indices) -> bool:
+    """J3's third matcher (similarity='discourse'): the eventuality matches
+    the argument iff some dependency edge links a connective token to a
+    token inside BOTH the argument span and the eventuality's raw span
+    (relation_extractor.py:521-539, the raw_sent_mapping branch)."""
+    conn = set(conn_indices)
+    a = set(arg_indices)
+    e = set(eventuality["raw_indices"])
+    for governor, _, dependent in sent_parsed["dependencies"]:
+        if dependent in conn and governor in a and governor in e:
+            return True
+        if governor in conn and dependent in a and dependent in e:
+            return True
+    return False
+
+
 # PDTB syntactic category per explicit connective (public PDTB data;
 # the reference ships it as discourse/feats/conn_category.txt)
 CONNECTIVE_CATEGORIES = {
@@ -850,17 +868,22 @@ def extract_paragraph_relations_discourse(sentences, para_eventualities,
     connectives.sort(
         key=lambda c: (c["sent_idx"], c["indices"][0] if c["indices"] else -1))
 
+    def _match(arg, e, conn_indices):
+        if method.lower() == "discourse":
+            return match_argument_eventuality_by_dependencies(
+                sentences[arg["sent_idx"]], arg["indices"], e, conn_indices)
+        return match_argument_eventuality(arg["indices"], e, method,
+                                          threshold)
+
     for c in connectives:
         arg1, arg2, sense = c.get("arg1"), c.get("arg2"), c.get("sense")
         if not (c.get("indices") and arg1 and arg2
                 and sense and sense != "None"):
             continue
         e1s = [e for e in para_eventualities[arg1["sent_idx"]]
-               if match_argument_eventuality(arg1["indices"], e,
-                                             method, threshold)]
+               if _match(arg1, e, c["indices"])]
         e2s = [e for e in para_eventualities[arg2["sent_idx"]]
-               if match_argument_eventuality(arg2["indices"], e,
-                                             method, threshold)]
+               if _match(arg2, e, c["indices"])]
         if not e1s or not e2s:
             continue
         cnt = 1.0 / (len(e1s) * len(e2s))

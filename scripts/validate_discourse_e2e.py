@@ -75,7 +75,7 @@ def load_reference_discourse_extractors():
     return dev, drel
 
 
-def reference_doc(dev, drel, parsed):
+def reference_doc(dev, drel, parsed, similarity="simpson"):
     from aser_spark.nlp.syntax import SyntaxTree
 
     cache = {i: SyntaxTree(p["parse"]) for i, p in enumerate(parsed)}
@@ -84,7 +84,7 @@ def reference_doc(dev, drel, parsed):
         syntax_tree_cache=cache)
     rels = drel.extract_from_parsed_result(
         parsed, para_evs, output_format="Relation", in_order=False,
-        syntax_tree_cache=cache)
+        similarity=similarity, syntax_tree_cache=cache)
     ev_keys = [
         sorted((e.eid, tuple(sorted(set(e.raw_sent_mapping.values()))))
                for e in sent_evs)
@@ -98,7 +98,7 @@ def reference_doc(dev, drel, parsed):
     return ev_keys, triples, para_evs
 
 
-def our_doc(parsed):
+def our_doc(parsed, method="Simpson"):
     from aser_spark.kernel.discourse import (
         extract_document_eventualities_discourse,
         extract_paragraph_relations_discourse)
@@ -106,7 +106,8 @@ def our_doc(parsed):
 
     trees = [SyntaxTree(p["parse"]) for p in parsed]
     para_evs = extract_document_eventualities_discourse(parsed, trees)
-    rows = extract_paragraph_relations_discourse(parsed, para_evs, trees)
+    rows = extract_paragraph_relations_discourse(parsed, para_evs, trees,
+                                                 method=method)
     ev_keys = [
         sorted((e["eid"], tuple(e["raw_indices"])) for e in sent_evs)
         for sent_evs in para_evs
@@ -151,6 +152,18 @@ def main():
         ref_evs, ref_triples, _ = reference_doc(dev, drel, parsed)
         my_evs, my_triples = our_doc(parsed)
         n_docs += 1
+
+        if n_docs <= 100:
+            # also check the dependency-link matcher (similarity='discourse')
+            _, ref_dep, _ = reference_doc(dev, drel, parsed,
+                                          similarity="discourse")
+            _, my_dep = our_doc(parsed, method="discourse")
+            if set(ref_dep) != set(my_dep) or any(
+                    abs(ref_dep[k] - my_dep[k]) > 1e-9 for k in ref_dep):
+                rel_wbad += 1
+                print(f"DEP-MATCH MISMATCH doc={texts[:2]}...\n"
+                      f"  only-ref={sorted(set(ref_dep) - set(my_dep))}\n"
+                      f"  only-us ={sorted(set(my_dep) - set(ref_dep))}")
 
         for want, got in zip(ref_evs, my_evs):
             wk, gk = set(want), set(got)

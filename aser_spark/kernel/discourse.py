@@ -1192,9 +1192,8 @@ def argument_position_feature_strings(doc_parsed, sent_idx, indices,
 
 # D6 ExplicitSenseClassifier feature families
 # (discourse_parser.py:1830-1999) — 23 families over connective + Pitler
-# categories + the as/when previous-connective quirks; the softmax model
-# that consumes them is pickled (absent in-sandbox; CONNECTIVE_SENSES is
-# the deterministic stand-in)
+# categories + the as/when previous-connective quirks; consumed by the
+# reference's frozen 14-sense softmax LR (discourse_models.sense)
 EXPLICIT_FEATURE_FAMILIES = (
     ("conn", "feat"), ("cpos", "feat"), ("prev_conn", "feat"),
     ("conn_lower", "feat"), ("self_category", "feat"),

@@ -193,8 +193,9 @@ for lemma, (vb, vbz, vbd, vbn, vbg) in _V.items():
     if vbn != vbd:
         VERB_FORMS[vbn] = ("VBN", lemma)
     VERB_FORMS[vbg] = ("VBG", lemma)
-# ambiguous VBD/VBN forms keep VBD; the parser upgrades to VBN after be/have
-AMBIG_VBN = frozenset(vbd for _, (_, _, vbd, vbn, _) in _V.items() if vbd == vbn)
+# ambiguous VBD/VBN forms keep VBD; the parser upgrades ANY VBD to VBN
+# after a be/have auxiliary (parser._retag), covering out-of-vocabulary
+# regular "-ed" verbs too
 
 IRREGULAR_NOUN_PLURALS = {
     "people": "people", "children": "child", "men": "man", "women": "woman",

@@ -138,16 +138,21 @@ def run_extraction_checkpointed(spark, transcripts: DataFrame, workdir: str,
     different eids/relations, so mixing them would silently corrupt the
     instances table."""
     _mkdirs(spark, workdir)
+    # one read serves both the mode guard and the done-part scan (matters
+    # on object stores: _checkpoints is listed+read once per resume)
     ck = load_checkpoints(spark, workdir)
+    done = set()
     if ck is not None:
-        prior_modes = {r[0] for r in ck.select("mode").distinct().collect()}
+        rows = (ck.filter(F.col("status") == "done")
+                .select("part_id", "mode").collect())
+        prior_modes = {r.mode for r in rows}
         prior_modes.discard(None)  # pre-mode-column legacy rows
         if prior_modes - {mode}:
             raise ValueError(
                 f"workdir {workdir} holds partitions extracted with mode="
                 f"{sorted(prior_modes)}; refusing to resume with mode={mode!r}")
+        done = {r.part_id for r in rows}
     t = with_part_id(transcripts, n_parts)
-    done = done_part_ids(spark, workdir)
     pending = set(range(n_parts)) - done
 
     if pending:

@@ -190,10 +190,12 @@ def _freeze_longlived():
     worker's lifetime) out of the cyclic GC's scan set.  Reused python
     workers otherwise pay full gen2 collections repeatedly inside every
     allocation-heavy extraction task (measured 1.5x on the discourse
-    kernel once a prior stage's memo is resident).  Called at task start,
-    so anything leaked by the freeze is bounded by tasks-per-worker."""
+    kernel once a prior stage's memo is resident).  Called at task start;
+    the collect() first reclaims any cyclic garbage left by the previous
+    task so freezing cannot accumulate leaked cycles across tasks."""
     import gc
 
+    gc.collect()
     gc.freeze()
 
 

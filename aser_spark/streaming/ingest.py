@@ -38,7 +38,25 @@ def stream_extract_transcripts(spark, input_path: str, workdir: str,
     """Start (and with available_now=True, run to completion) a streaming
     query that extracts graph instances from transcript parquet files as
     they land under ``input_path``.  ``mode`` selects the extraction
-    kernel ('seed' | 'discourse'), same as the batch path."""
+    kernel ('seed' | 'discourse'), same as the batch path.
+
+    Like the batch checkpoint path, the workdir records its extraction
+    mode (a ``_mode/<mode>`` marker via the Hadoop FS): restarting the
+    stream over the same workdir with a different mode fails fast instead
+    of appending rows from an incompatible kernel next to the committed
+    ones (the streaming checkpoint would skip old files, silently mixing
+    eid spaces)."""
+    from ..pipeline.checkpoint import _list_names, _mkdirs
+
+    marker_dir = f"{workdir}/_mode"
+    existing = _list_names(spark, marker_dir)
+    if existing and set(existing) != {mode}:
+        raise ValueError(
+            f"stream workdir {workdir} was written with mode="
+            f"{sorted(existing)}; refusing to restart with mode={mode!r}")
+    if not existing:
+        _mkdirs(spark, f"{marker_dir}/{mode}")
+
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 8)

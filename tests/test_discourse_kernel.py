@@ -316,3 +316,45 @@ def test_ss_argument_constituent_features():
     assert main["nt_ctx"] == "S-S-NULL-SBAR"
     assert main["conn_nt_path"] == "IN>SBAR>S<S"
     assert main["conn_nt_position"] == "middle"   # reference quirk: always
+
+
+def test_memoized_pipeline_path_equals_document_level():
+    """The SHIPPED discourse path (pipeline/extract.py's two-level
+    per-sentence memo with one-token boundary context) must reproduce
+    document-level extraction exactly — this is the independent witness
+    for the memoization-validity claim (only D2's prev/next token leaks
+    across sentence boundaries).  Compares full node/edge instance
+    multisets over real multi-sentence conversations."""
+    from collections import Counter
+
+    from aser_spark.datagen.transcripts import gen_conversation_rows
+    from aser_spark.kernel.discourse import (
+        extract_document_eventualities_discourse,
+        extract_paragraph_relations_discourse)
+    from aser_spark.nlp import parse_text
+    from aser_spark.nlp.syntax import SyntaxTree
+    from aser_spark.pipeline.extract import (_sentence_cache,
+                                             conversation_instance_rows)
+
+    memo = _sentence_cache("discourse")
+    for ci in range(25):
+        conv = gen_conversation_rows(42, ci)
+        rows = conversation_instance_rows(
+            conv[0][0], [(r[1], r[3]) for r in conv], memo, "discourse")
+        got_nodes = Counter(r[4] for r in rows if r[0] == "node")
+        got_edges = Counter((r[12], r[13], r[14], round(r[15], 9))
+                            for r in rows if r[0] == "edge")
+
+        parsed = []
+        for r in conv:
+            parsed.extend(parse_text(r[3]))
+        trees = [SyntaxTree(p["parse"]) for p in parsed]
+        doc_evs = extract_document_eventualities_discourse(parsed, trees)
+        want_nodes = Counter(e["eid"] for es in doc_evs for e in es)
+        want_edges = Counter(
+            (h, t, s, round(w, 9))
+            for h, t, s, w in extract_paragraph_relations_discourse(
+                parsed, doc_evs, trees))
+
+        assert got_nodes == want_nodes, ci
+        assert got_edges == want_edges, ci

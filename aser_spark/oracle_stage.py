@@ -27,7 +27,7 @@ from pathlib import Path
 
 STAGE_DIR = os.environ.get("ASER_ORACLE_STAGE_DIR", "/tmp/aser_spark_oracle")
 # bump when the staged layout or the generator/kernel semantics change
-STAGE_VERSION = 11  # r3: real discourse classifiers + gazetteer NER/mentions
+STAGE_VERSION = 12  # r3: real BMP/WAV/RAWV media payloads
 
 _INSTANCE_COLS = [
     ("kind", "string"), ("conv_id", "string"), ("turn_idx", "int32"),
@@ -70,14 +70,13 @@ def _instances_rows(n_convs: int, seed: int, mode: str = "seed") -> list:
 
 def _media_rows(n: int) -> list:
     """Expected output of textops.multimodal.extract_media_features over
-    synthesize_media(n) — same deterministic payload + digest arithmetic,
-    no Spark."""
-    rows = []
-    for i in range(n):
-        kind = ("image", "audio", "video")[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 4)
-        rows.append((i, kind, hashlib.sha1(payload).hexdigest(), len(payload)))
-    return rows
+    synthesize_media(n): the SAME pure-python payload generator the Spark
+    synthesizer uses (real BMP/WAV/RAWV bytes), digested here without
+    Spark."""
+    from .textops.multimodal import media_payload_rows
+
+    return [(i, kind, hashlib.sha1(payload).hexdigest(), len(payload))
+            for i, kind, payload, _meta in media_payload_rows(n)]
 
 
 def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,

@@ -184,19 +184,33 @@ def _frame(rows, columns):
     return pd.DataFrame(dict(zip(columns, map(list, zip(*rows)))))
 
 
+_GC_TUNED = False
+
+
 def _freeze_longlived():
-    """Move the worker's long-lived objects (sentence memos, compiled
+    """Take the worker's long-lived objects (sentence memos, compiled
     classifier tables — millions of small objects that survive for the
-    worker's lifetime) out of the cyclic GC's scan set.  Reused python
-    workers otherwise pay full gen2 collections repeatedly inside every
-    allocation-heavy extraction task (measured 1.5x on the discourse
-    kernel once a prior stage's memo is resident).  Called at task start;
-    the collect() first reclaims any cyclic garbage left by the previous
-    task so freezing cannot accumulate leaked cycles across tasks."""
+    worker's lifetime) out of the cyclic GC's frequent-scan path.  Reused
+    python workers otherwise pay full gen2 collections repeatedly inside
+    every allocation-heavy extraction task (measured 1.5x on the
+    discourse kernel once a prior stage's memo is resident).
+
+    Freeze runs ONCE per worker (collect first, so no garbage is frozen):
+    repeated freezing would permanently exempt memo entries that lru_cache
+    later evicts — an unbounded leak under cache churn — whereas a single
+    freeze leaks at most the entries resident at that one moment.  Objects
+    allocated after the freeze stay ordinarily collectable; raised GC
+    thresholds keep full scans over the (growing, long-lived) memos rare
+    instead of per-allocation-burst."""
+    global _GC_TUNED
+    if _GC_TUNED:
+        return
     import gc
 
     gc.collect()
     gc.freeze()
+    gc.set_threshold(50_000, 25, 50)
+    _GC_TUNED = True
 
 
 def _group_by_conv(df, num_partitions=None):

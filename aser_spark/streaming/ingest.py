@@ -46,15 +46,22 @@ def stream_extract_transcripts(spark, input_path: str, workdir: str,
     of appending rows from an incompatible kernel next to the committed
     ones (the streaming checkpoint would skip old files, silently mixing
     eid spaces)."""
-    from ..pipeline.checkpoint import _list_names, _mkdirs
+    from ..pipeline.checkpoint import _delete, _exists, _list_names, _mkdirs
 
     marker_dir = f"{workdir}/_mode"
-    existing = _list_names(spark, marker_dir)
-    if existing and set(existing) != {mode}:
+    existing = set(_list_names(spark, marker_dir))
+    has_data = _exists(spark, f"{workdir}/instances_stream")
+    if has_data and existing != {mode}:
+        # committed data under a different mode — or a pre-marker legacy
+        # workdir whose mode is unknowable — either way, refuse
         raise ValueError(
-            f"stream workdir {workdir} was written with mode="
-            f"{sorted(existing)}; refusing to restart with mode={mode!r}")
-    if not existing:
+            f"stream workdir {workdir} holds instances written with mode="
+            f"{sorted(existing) or ['<unrecorded>']}; refusing to append "
+            f"mode={mode!r} rows next to them")
+    if existing != {mode}:
+        # no committed data: a stale marker from a start that never
+        # produced a batch is safe to replace
+        _delete(spark, marker_dir)
         _mkdirs(spark, f"{marker_dir}/{mode}")
 
     stream = (

@@ -279,13 +279,23 @@ def _digest_features(payload: bytes):
 
 
 def decode_features(payload: bytes, codec: str, strict: bool = False):
-    """Decode one payload by codec -> FEATURE_DIM real features."""
-    if codec == "bmp":
-        return _image_features(_bmp_decode(payload))
-    if codec == "pcm16_wav":
-        return _audio_features(*_wav_decode(payload))
-    if codec == "rawv":
-        return _video_features(_rawv_decode(payload))
+    """Decode one payload by codec -> FEATURE_DIM real features.
+
+    Non-strict mode is TOTAL: unsupported codecs AND malformed payloads
+    of supported codecs fall back to digest features instead of failing
+    the whole Spark task (one corrupt row must not abort a 100 TB scan);
+    strict mode propagates both conditions."""
+    try:
+        if codec == "bmp":
+            return _image_features(_bmp_decode(payload))
+        if codec == "pcm16_wav":
+            return _audio_features(*_wav_decode(payload))
+        if codec == "rawv":
+            return _video_features(_rawv_decode(payload))
+    except (ValueError, struct.error, IndexError):
+        if strict:
+            raise
+        return _digest_features(payload)
     if strict:
         raise NotImplementedError(
             f"codec {codec!r} needs external libraries (PIL/ffmpeg/...) "

@@ -534,6 +534,18 @@ def _q_lsh_candidate_pairs(spark, sf_dir):
     return lsh_candidate_pairs(minhash_signatures(d, n=4, num_perm=8), bands=4)
 
 
+def _q_near_dup_groups(spark, sf_dir):
+    """Production dedup shape: MinHash -> banded LSH pairs -> large-star/
+    small-star connected components -> (doc_id, duplicate-group id,
+    canonical flag).  The oracle reproduces the grouping with a recursive
+    transitive closure over the identical md5-derived LSH pairs."""
+    _ship_package(spark)
+    from aser_spark.textops import near_dup_groups
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return near_dup_groups(d, n=4, num_perm=8, bands=4)
+
+
 def _q_media_features(spark, sf_dir):
     _ship_package(spark)
     from aser_spark.textops.multimodal import extract_media_features, synthesize_media
@@ -585,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_coref_components": _q_mention_coref_components,
         "mention_alias_expansion": _q_mention_alias_expansion,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
+        "near_dup_groups": _q_near_dup_groups,
         "media_features": _q_media_features,
     }
 
@@ -967,6 +980,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bs a JOIN bs b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        """,
+        "near_dup_groups": f"""
+            WITH RECURSIVE
+            d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 150),
+            g AS (SELECT DISTINCT doc_id, substr(t, i, 4) AS gram
+                  FROM d JOIN {series} s ON s.i <= greatest(length(t) - 3, 1)),
+            mh AS (
+              SELECT doc_id, CAST(p.perm AS INT) AS perm,
+                     MIN({_H60.format(x="gram || '#' || p.perm")}) AS minhash
+              FROM g, (SELECT CAST(generate_series AS INT) AS perm
+                       FROM generate_series(0, 7)) p
+              GROUP BY doc_id, p.perm),
+            bs AS (
+              SELECT doc_id, perm % 4 AS band,
+                     string_agg(perm || ':' || minhash, ',' ORDER BY perm) AS sig
+              FROM mh GROUP BY doc_id, band),
+            pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bs a JOIN bs b
+                     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                   UNION ALL SELECT doc_b AS a, doc_a AS b FROM pr),
+            vtx AS (SELECT DISTINCT a AS n FROM ed),
+            reach(a, b) AS (
+              SELECT n, n FROM vtx
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+            comp AS (SELECT a, MIN(b) AS c FROM reach GROUP BY a)
+            SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS group_id,
+                   CASE WHEN COALESCE(comp.c, d.doc_id) = d.doc_id
+                        THEN 1 ELSE 0 END AS is_canonical
+            FROM d LEFT JOIN comp ON comp.a = d.doc_id
         """,
         "agg_event_type_stats": """
             SELECT event_type, COUNT(*) AS n_events,

@@ -117,40 +117,19 @@ def expand_mention_aliases(mentions: DataFrame,
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 25) -> DataFrame:
-    """Generic min-label-propagation connected components:
-    (node, component) with component = the ordering-minimal node label of
-    the component.  Converges in O(component diameter) Spark jobs with an
-    early-stop change count.  For billion-edge graphs swap the body for
-    large-star/small-star (same signature); coref graphs here are tiny,
-    near-clique components, so plain propagation converges in 2-3 rounds."""
-    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-           .distinct().persist())
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("component", F.col("node")).persist())
-    labels.count()
-    for _ in range(max_iter):
-        neigh = (sym.join(labels, sym.b == labels.node)
-                 .groupBy("a").agg(F.min("component").alias("ncomp")))
-        new_labels = (
-            labels.join(neigh, labels.node == neigh.a, "left")
-            .select(
-                "node",
-                F.least(F.col("component"),
-                        F.coalesce(F.col("ncomp"), F.col("component"))).alias("component"),
-                (F.coalesce(F.col("ncomp"), F.col("component"))
-                 < F.col("component")).cast("int").alias("_chg"))
-            .persist()
-        )
-        # ONE action per round: materializes the new labels AND counts changes
-        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
-        labels.unpersist()
-        labels = new_labels.drop("_chg")
-        if changed == 0:
-            break
-    sym.unpersist()
-    return labels
+                         max_iter: int = 50) -> DataFrame:
+    """Generic connected components: (node, component) with component = the
+    ordering-minimal node label of the component.
+
+    Delegates to large-star/small-star alternation (graphops.py) — bounded
+    O(log^2 n) rounds regardless of component diameter, constant-size plans
+    via per-round lineage truncation.  This replaced a min-label-propagation
+    loop whose round count was the component DIAMETER and whose un-truncated
+    plan depth made Catalyst re-analysis the bottleneck past ~10 rounds.
+    Self-loop-only vertices are dropped (a self loop creates no vertex)."""
+    from ..graphops import connected_components_star
+
+    return connected_components_star(edges, src=src, dst=dst, max_iter=max_iter)
 
 
 def mention_containment_edges(mentions: DataFrame,

@@ -10,7 +10,7 @@ reproduce values bit-for-bit.
 """
 
 from .dedup import (exact_duplicates, minhash_signatures, lsh_candidate_pairs,
-                    ngram_jaccard_pairs, simhash)
+                    near_dup_groups, ngram_jaccard_pairs, simhash)
 from .quality import (document_fingerprint, language_id, quality_scores,
                       token_stats)
 from .similarity import (brute_force_cosine_topk, embedding_near_duplicates,

@@ -148,6 +148,34 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
     )
 
 
+def near_dup_groups(documents: DataFrame, n: int = 4, num_perm: int = 16,
+                    bands: int = 4) -> DataFrame:
+    """The full production dedup shape (the FineWeb/SlimPajama pipeline):
+    MinHash signatures -> banded LSH candidate pairs -> connected
+    components -> one row per document with its duplicate-group id and a
+    canonical flag (keep ``is_canonical = 1``, drop the rest).
+
+    Components use large-star/small-star (graphops.py) — bounded-round CC,
+    so a 100 TB corpus whose duplicate graph has long chains (doc A ~ B ~ C
+    ... through drifting boilerplate) still resolves in O(log^2 n) rounds.
+    group_id = the smallest doc_id of the group; documents with no
+    near-duplicate are their own singleton group."""
+    from ..graphops import connected_components_star
+
+    pairs = lsh_candidate_pairs(minhash_signatures(documents, n, num_perm), bands)
+    comp = (connected_components_star(pairs, src="doc_a", dst="doc_b")
+            .withColumnRenamed("node", "doc_id"))
+    return (
+        documents.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("group_id"))
+        .withColumn("is_canonical",
+                    (F.col("doc_id") == F.col("group_id")).cast("int"))
+    )
+
+
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """Per-document SimHash over distinct tokens: sign of the per-bit sum of
     +1/-1 contributions from each token's 60-bit hash."""

@@ -1,0 +1,95 @@
+"""Large-star/small-star connected components vs a pure-Python union-find,
+plus the composed near-dup grouping operator."""
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _uf_components(edges):
+    """Ground truth: union-find over the same edge list; label = min member."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:  # self loops do not create vertices, matching _canon
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run_star(spark, edges, schema):
+    from aser_spark.graphops import connected_components_star
+
+    df = spark.createDataFrame(edges, schema)
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(df, "src", "dst").collect()}
+    assert got == _uf_components(edges)
+    return got
+
+
+def test_star_cc_random_graphs(spark):
+    rng = random.Random(7)
+    for n_nodes, n_edges in [(30, 20), (60, 80), (120, 90)]:
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        _run_star(spark, edges, "src long, dst long")
+
+
+def test_star_cc_long_chain(spark):
+    """A 300-node path — the diameter case plain label propagation needs 300
+    rounds for; star alternation must resolve it in O(log^2 n)."""
+    edges = [(i, i + 1) for i in range(300)]
+    got = _run_star(spark, edges, "src long, dst long")
+    assert set(got.values()) == {0}
+
+
+def test_star_cc_string_keys_and_self_loops(spark):
+    edges = [("b", "a"), ("c", "b"), ("d", "d"), ("x", "y"), ("z", "z")]
+    got = _run_star(spark, [e for e in edges], "src string, dst string")
+    assert got["c"] == "a" and got["x"] == "x" and got["y"] == "x"
+    # pure self-loop nodes are isolated vertices: absent, like in union-find
+    assert "z" not in got or got["z"] == "z"
+
+
+def test_star_cc_dense_merge(spark):
+    """Two cliques bridged by one edge plus parallel duplicate edges."""
+    edges = ([(i, j) for i in range(10) for j in range(i + 1, 10)]
+             + [(i, j) for i in range(20, 28) for j in range(i + 1, 28)]
+             + [(9, 20)] * 3)
+    got = _run_star(spark, edges, "src long, dst long")
+    assert set(got.values()) == {0}
+
+
+def test_near_dup_groups(spark):
+    from aser_spark.textops import lsh_candidate_pairs, minhash_signatures, near_dup_groups
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "completely different text about spark shuffle partitions"),
+        (4, "the quick brown fox jumps over the lazy dog again & again"),
+        (5, "another unrelated document mentioning catalyst optimizer rules"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["group_id"], r["is_canonical"])
+           for r in near_dup_groups(df, n=4, num_perm=8, bands=4).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # group assignment must equal the transitive closure of the LSH pairs
+    pairs = [(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(
+        minhash_signatures(df, n=4, num_perm=8), bands=4).collect()]
+    truth = _uf_components(pairs)
+    for d in out:
+        assert out[d][0] == truth.get(d, d)
+        assert out[d][1] == (1 if out[d][0] == d else 0)
+    # the near-identical trio should actually collide
+    assert out[1][0] == out[2][0] == out[4][0]
+    assert out[3][0] == 3 and out[5][0] == 5

@@ -458,6 +458,27 @@ def _q_kg_concept_relations(spark, sf_dir):
     )
 
 
+def _q_kg_concepts_exact(spark, sf_dir):
+    """Reference-exact heap-beam conceptualization (topk**topk cut, tie
+    order, early break — bit-parity-tested vs the reference class): one
+    shuffle-free mapInPandas over the aggregated nodes; the oracle joins
+    the pure-Python-staged beam map against the same node aggregation."""
+    _ship_package(spark)
+    from aser_spark.pipeline.concepts import probase_concepts_exact, probase_rows
+
+    inst = _kg(spark)["instances"].filter(F.col("kind") == "node")
+    nodes = (inst.groupBy("eid")
+             .agg(F.any_value("pattern").alias("pattern"),
+                  F.any_value("words").alias("words"),
+                  F.any_value("pos_tags").alias("pos_tags"),
+                  F.any_value("ners").alias("ners"),
+                  F.sum("frequency").alias("frequency")))
+    out = probase_concepts_exact(nodes, probase_rows(), topk=3,
+                                 min_frequency=2.0)
+    return out.select("eid", "words", "rank", "concept_words",
+                      F.round("score", 6).alias("score"))
+
+
 def _q_kg_entity_links(spark, sf_dir):
     _ship_package(spark)
     from aser_spark.pipeline.entities import link_entities, toy_kb
@@ -591,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lineage": _q_kg_lineage,
         "kg_concepts": _q_kg_concepts,
         "kg_concepts_multi": _q_kg_concepts_multi,
+        "kg_concepts_exact": _q_kg_concepts_exact,
         "kg_concept_relations": _q_kg_concept_relations,
         "kg_entity_links": _q_kg_entity_links,
         "kg_node_ner_profiles": _q_kg_node_ner_profiles,
@@ -885,6 +907,18 @@ def _kg_oracle_sql() -> dict[str, str]:
             JOIN pairs t ON e.tid = t.eid
             WHERE h.concept_words <> t.concept_words
             GROUP BY h.concept_words, t.concept_words, e.sense
+        """,
+        "kg_concepts_exact": f"""
+            WITH na AS (
+              SELECT eid, MIN(words) AS words, MIN(pos_tags) AS pos_tags,
+                     SUM(frequency) AS frequency
+              FROM read_parquet('{p["instances"]}') WHERE kind = 'node'
+              GROUP BY eid),
+            nf AS (SELECT * FROM na WHERE frequency >= 2.0)
+            SELECT nf.eid, nf.words, m.rank, m.concept_words,
+                   ROUND(m.score, 6) AS score
+            FROM nf JOIN read_parquet('{p["concepts_exact"]}') m
+              ON nf.words = m.words AND nf.pos_tags = m.pos_tags
         """,
         "kg_entity_links": f"""
             WITH idx AS (SELECT eid, string_split(words, ' ') AS w,

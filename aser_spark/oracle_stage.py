@@ -27,7 +27,7 @@ from pathlib import Path
 
 STAGE_DIR = os.environ.get("ASER_ORACLE_STAGE_DIR", "/tmp/aser_spark_oracle")
 # bump when the staged layout or the generator/kernel semantics change
-STAGE_VERSION = 12  # r3: real BMP/WAV/RAWV media payloads
+STAGE_VERSION = 13  # r3: + concepts_exact heap-beam map
 
 _INSTANCE_COLS = [
     ("kind", "string"), ("conv_id", "string"), ("turn_idx", "int32"),
@@ -68,6 +68,33 @@ def _instances_rows(n_convs: int, seed: int, mode: str = "seed") -> list:
     return out
 
 
+def _concepts_exact_rows(instance_rows: list) -> list:
+    """Reference-exact heap-beam conceptualization per distinct node
+    (words, pos_tags, ners) key — the same pure functions the Spark
+    mapInPandas operator runs (pipeline/concepts_exact.py, themselves
+    bit-parity-tested against the reference class).  Keyed by
+    (words, pos_tags): the gazetteer NER is a pure function of
+    (token, tag), so ners is determined by that key."""
+    from .pipeline.concepts import probase_rows
+    from .pipeline.concepts_exact import build_probase_index, exact_concept_rows
+
+    index = build_probase_index(probase_rows())
+    seen, out = set(), []
+    for r in instance_rows:
+        if r[0] != "node":
+            continue
+        words, pos_tags, ners = r[6], r[7], r[16]
+        if (words, pos_tags) in seen:
+            continue
+        seen.add((words, pos_tags))
+        toks = words.split(" ")
+        ner_list = ners.split(" ") if ners else ["O"] * len(toks)
+        for rank, cstr, score in exact_concept_rows(
+                toks, pos_tags.split(" "), ner_list, index):
+            out.append((words, pos_tags, rank, cstr, score))
+    return out
+
+
 def _media_rows(n: int) -> list:
     """Expected output of textops.multimodal.extract_media_features over
     synthesize_media(n): the SAME pure-python payload generator the Spark
@@ -87,7 +114,7 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
     base.mkdir(parents=True, exist_ok=True)
     paths = {k: base / f"{k}.parquet"
              for k in ("instances", "instances_discourse", "probase", "kb",
-                       "media")}
+                       "media", "concepts_exact")}
     marker = base / "MARKER.json"
     want = {"version": STAGE_VERSION, "n_convs": n_convs, "seed": seed,
             "n_media": n_media}
@@ -101,8 +128,12 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
     from .pipeline.concepts import probase_rows
     from .pipeline.entities import kb_rows
 
-    _write_parquet(paths["instances"], _instances_rows(n_convs, seed),
-                   _INSTANCE_COLS)
+    seed_rows = _instances_rows(n_convs, seed)
+    _write_parquet(paths["instances"], seed_rows, _INSTANCE_COLS)
+    _write_parquet(paths["concepts_exact"], _concepts_exact_rows(seed_rows),
+                   [("words", "string"), ("pos_tags", "string"),
+                    ("rank", "int32"), ("concept_words", "string"),
+                    ("score", "float64")])
     _write_parquet(paths["instances_discourse"],
                    _instances_rows(n_convs, seed, mode="discourse"),
                    _INSTANCE_COLS)

@@ -160,6 +160,55 @@ def probase_concepts_multi(nodes: DataFrame, probase: DataFrame, topk: int = 3,
     return out
 
 
+def probase_concepts_exact(nodes: DataFrame, probase_rows_list: list,
+                           topk: int = 3,
+                           min_frequency: float = 0.0) -> DataFrame:
+    """REFERENCE-EXACT conceptualization: per-eventuality heap beam with the
+    reference's `topk**topk` cut, tie ordering, early break, and fallback
+    (concepts_exact.py — bit-parity-tested against the reference class).
+
+    Plan shape: the work is per-row bounded (<= topk^topk combinations per
+    eventuality), so this is ONE Arrow-batched mapInPandas pass — no
+    shuffle, no window.  The probase index rides the task closure like the
+    reference's in-worker Probase dict; for a multi-GB real dump prefer the
+    bounded DataFrame expansion (probase_concepts_multi), which keeps the
+    dimension broadcast-joined instead of materialized per worker.
+
+    nodes needs (eid, pattern, frequency, words, pos_tags, ners); output is
+    one row per (eventuality, beam entry) with the reference's rank."""
+    from .concepts_exact import build_probase_index, exact_concept_rows
+
+    if min_frequency > 0:
+        nodes = nodes.filter(F.col("frequency") >= F.lit(min_frequency))
+    index = build_probase_index(probase_rows_list)
+    src = nodes.select("eid", "pattern", "frequency", "words", "pos_tags",
+                       "ners")
+    schema = ("eid string, pattern string, frequency double, words string, "
+              "rank int, concept_words string, score double")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("eid", "pattern", "frequency", "words",
+                                   "rank", "concept_words", "score")}
+            for eid, pattern, freq, words, pos, ners in pdf.itertuples(index=False):
+                toks = words.split(" ")
+                ner_list = ners.split(" ") if ners else ["O"] * len(toks)
+                for rank, cstr, score in exact_concept_rows(
+                        toks, pos.split(" "), ner_list, index, topk):
+                    out["eid"].append(eid)
+                    out["pattern"].append(pattern)
+                    out["frequency"].append(freq)
+                    out["words"].append(words)
+                    out["rank"].append(rank)
+                    out["concept_words"].append(cstr)
+                    out["score"].append(score)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(gen, schema)
+
+
 def aggregate_concepts(concepts: DataFrame):
     """-> (concept nodes with summed scores, concept-instance pairs).
 

@@ -555,6 +555,37 @@ def _q_lsh_candidate_pairs(spark, sf_dir):
     return lsh_candidate_pairs(minhash_signatures(d, n=4, num_perm=8), bands=4)
 
 
+_SAMPLE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1}
+
+
+def _q_stratified_sample_documents(spark, sf_dir):
+    """Deterministic training-mix sampling: per-language keep rates via a
+    salted md5 threshold — stable across runs/partitionings/engines, no
+    RNG, one codegen filter."""
+    _ship_package(spark)
+    from aser_spark.textops import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (stratified_hash_sample(d, _SAMPLE_RATES, strata_col="lang")
+            .select("doc_id", "lang"))
+
+
+def _q_decontaminate_documents(spark, sf_dir):
+    """Benchmark decontamination: 8-gram containment of a probe set (the
+    64-char normalized prefixes of every 50th document — a stand-in for an
+    eval suite) against the whole corpus; pairs >= 0.5 containment are the
+    drop list."""
+    _ship_package(spark)
+    from aser_spark.textops import benchmark_contamination
+    from aser_spark.textops.dedup import _norm
+
+    d = _t(spark, sf_dir, "documents")
+    bench = (d.filter(F.col("doc_id") % 50 == 0)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.substring(_norm(F.col("text")), 1, 64).alias("text")))
+    return benchmark_contamination(d, bench, n=8, min_containment=0.5)
+
+
 def _q_near_dup_groups(spark, sf_dir):
     """Production dedup shape: MinHash -> banded LSH pairs -> large-star/
     small-star connected components -> (doc_id, duplicate-group id,
@@ -620,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_alias_expansion": _q_mention_alias_expansion,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "near_dup_groups": _q_near_dup_groups,
+        "stratified_sample_documents": _q_stratified_sample_documents,
+        "decontaminate_documents": _q_decontaminate_documents,
         "media_features": _q_media_features,
     }
 
@@ -1014,6 +1047,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bs a JOIN bs b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        """,
+        "stratified_sample_documents": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_H60.format(x="CAST(doc_id AS VARCHAR) || '#sample'")} <
+              CASE lang
+                {" ".join(f"WHEN '{k}' THEN {int(v * float(2 ** 60))}"
+                          for k, v in sorted(_SAMPLE_RATES.items()))}
+                ELSE 0 END
+        """,
+        "decontaminate_documents": f"""
+            WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            b AS (SELECT doc_id AS bench_id, trim(substr(t, 1, 64)) AS bt
+                  FROM d WHERE doc_id % 50 = 0),
+            bg AS (SELECT DISTINCT bench_id, substr(bt, i, 8) AS gram
+                   FROM b JOIN {series} s ON s.i <= greatest(length(bt) - 7, 1)),
+            bsz AS (SELECT bench_id, COUNT(*) AS n_bench FROM bg GROUP BY bench_id),
+            dg AS (SELECT DISTINCT doc_id, substr(t, i, 8) AS gram
+                   FROM d JOIN {series} s ON s.i <= greatest(length(t) - 7, 1)),
+            hits AS (SELECT dg.doc_id, bg.bench_id, COUNT(*) AS inter
+                     FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id, bg.bench_id),
+            sc AS (SELECT doc_id, bench_id,
+                          ROUND(inter * 1.0 / n_bench, 6) AS containment
+                   FROM hits JOIN bsz USING (bench_id))
+            SELECT doc_id, bench_id, containment FROM sc WHERE containment >= 0.5
         """,
         "near_dup_groups": f"""
             WITH RECURSIVE

@@ -1,0 +1,80 @@
+"""Corpus selection operators: benchmark decontamination and deterministic
+sampling — the two gates every large-scale training-data pipeline runs
+after dedup/quality and before mixing.
+
+Both are pure whole-stage-codegen DataFrame plans with md5-arithmetic
+hashing, so the DuckDB oracle reproduces every value bit-for-bit (same
+primitive family as textops/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _hash60, doc_grams
+
+
+def benchmark_contamination(documents: DataFrame, benchmarks: DataFrame,
+                            n: int = 8,
+                            min_containment: float = 0.5) -> DataFrame:
+    """Flag documents that contain a benchmark/eval text — the n-gram
+    containment decontamination step (the GPT-3/FineWeb recipe: drop any
+    training doc sharing long character n-grams with an eval set).
+
+    benchmarks: (bench_id, text) — a SMALL dimension (eval suites are
+    thousands of rows), so its gram set is broadcast and the corpus-side
+    scan is one equi-join on the gram — no shuffle of the corpus beyond
+    the per-doc gram aggregation.  Containment is directional:
+    |grams(doc) ∩ grams(bench)| / |grams(bench)| — a doc embedding the
+    whole benchmark scores 1.0 regardless of how much other text it has.
+
+    Output: (doc_id, bench_id, containment) for pairs >= min_containment.
+    """
+    bench = doc_grams(benchmarks.select(F.col("bench_id").alias("doc_id"),
+                                        "text"), n)
+    bench = bench.select(F.col("doc_id").alias("bench_id"), "gram")
+    bench_sizes = bench.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
+    d = doc_grams(documents, n)
+    hits = (
+        d.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("inter"))
+        .join(F.broadcast(bench_sizes), "bench_id")
+    )
+    return (
+        hits.select("doc_id", "bench_id",
+                    F.round(F.col("inter") / F.col("n_bench"), 6)
+                    .alias("containment"))
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
+def hash_sample(documents: DataFrame, rate: float,
+                key_col: str = "doc_id", salt: str = "sample") -> DataFrame:
+    """Deterministic corpus sampling: keep a row iff its salted 60-bit md5
+    hash falls under rate * 2^60.  Unlike ``df.sample`` this is stable
+    across runs, partitionings, and engines (the production property you
+    need for reproducible training mixes), and it is exactly reproducible
+    by the DuckDB oracle from the same md5 arithmetic."""
+    h = _hash60(F.concat(F.col(key_col).cast("string"), F.lit("#" + salt)))
+    return documents.filter(h < F.lit(int(rate * float(2 ** 60))))
+
+
+def stratified_hash_sample(documents: DataFrame, rates: dict,
+                           strata_col: str,
+                           key_col: str = "doc_id",
+                           default_rate: float = 0.0,
+                           salt: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling (the training-mix knob: e.g.
+    keep 100% of 'en' books, 10% of crawl).  rates: {stratum: rate}.
+    One codegen filter, no shuffle, no RNG."""
+    h = _hash60(F.concat(F.col(key_col).cast("string"), F.lit("#" + salt)))
+    thresh = F.lit(int(default_rate * float(2 ** 60)))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(F.col(strata_col) == stratum,
+                        F.lit(int(rate * float(2 ** 60)))).otherwise(thresh)
+    return documents.filter(h < thresh)
+
+
+__all__ = ["benchmark_contamination", "hash_sample",
+           "stratified_hash_sample"]

@@ -1,0 +1,57 @@
+"""Corpus selection operators: decontamination containment semantics and
+deterministic-sampling properties."""
+
+from pyspark.sql import functions as F
+
+
+def test_benchmark_contamination(spark):
+    from aser_spark.textops import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "prefix words then alpha beta gamma delta epsilon and more"),
+         (3, "completely unrelated content with no shared grams at all")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "bench_id long, text string")
+    out = {(r["doc_id"], r["bench_id"]): r["containment"]
+           for r in benchmark_contamination(docs, bench, n=8,
+                                            min_containment=0.3).collect()}
+    # doc 1 and 2 both embed the full benchmark string -> containment 1.0
+    assert out[(1, 100)] == 1.0 and out[(2, 100)] == 1.0
+    assert (3, 100) not in out
+    # directionality: doc length does not dilute the score
+    assert len(out) == 2
+
+
+def test_hash_sample_determinism_and_rate(spark):
+    from aser_spark.textops import hash_sample
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(2000)],
+                                 "doc_id long, text string")
+    a = sorted(r["doc_id"] for r in hash_sample(docs, 0.3).collect())
+    b = sorted(r["doc_id"] for r in
+               hash_sample(docs.repartition(13), 0.3).collect())
+    assert a == b  # partitioning-independent
+    assert 0.25 < len(a) / 2000 < 0.35  # md5 is uniform enough at n=2000
+    # different salt -> different (deterministic) subset
+    c = sorted(r["doc_id"] for r in
+               hash_sample(docs, 0.3, salt="other").collect())
+    assert c != a
+
+
+def test_stratified_hash_sample(spark):
+    from aser_spark.textops import hash_sample, stratified_hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en" if i % 2 else "zh") for i in range(1000)],
+        "doc_id long, text string, lang string")
+    out = stratified_hash_sample(docs, {"en": 1.0, "zh": 0.0},
+                                 strata_col="lang").collect()
+    assert all(r["lang"] == "en" for r in out)
+    assert len(out) == 500
+    # a stratum's subset equals the plain sample of that stratum (same salt)
+    half = stratified_hash_sample(docs, {"en": 0.4}, strata_col="lang")
+    plain = hash_sample(docs.filter(F.col("lang") == "en"), 0.4)
+    assert sorted(r["doc_id"] for r in half.collect()) == \
+        sorted(r["doc_id"] for r in plain.collect())

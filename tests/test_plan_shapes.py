@@ -142,3 +142,29 @@ def test_node_ner_profiles_two_phase_hash_agg(spark):
     plan = _exec_plan(node_ner_profiles(inst))
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2      # partial + final
+
+
+def test_benchmark_contamination_broadcasts_bench_no_cartesian(spark):
+    """Decontamination joins the corpus grams against the SMALL benchmark
+    gram set via broadcast on the gram key — the corpus side never
+    shuffles into a pair join."""
+    from aser_spark.textops import benchmark_contamination
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.limit(3).select(F.col("doc_id").alias("bench_id"), "text")
+    plan = _plan(benchmark_contamination(docs, bench, n=8), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """Deterministic sampling must be a scan + filter: no exchange, no
+    aggregation, no UDF — it runs at parquet-scan speed."""
+    from aser_spark.textops import stratified_hash_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _exec_plan(stratified_hash_sample(
+        docs, {"en": 0.5, "de": 0.1}, strata_col="lang"))
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -89,13 +89,22 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         return (row["n"], row["h"])
 
     sig = _sig(cur)
+    converged = False
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         new_sig = _sig(nxt)
         cur = nxt
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # returning the non-fixpoint edge set would silently split
+        # components — fail loud instead (practical graphs converge in
+        # single-digit rounds; raise max_iter for adversarial topologies)
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter")
     return (
         cur.select(F.col("b").alias("node"), F.col("a").alias("component"))
         .unionByName(

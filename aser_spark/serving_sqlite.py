@@ -49,10 +49,25 @@ RELATION_COLUMNS = ["_id", "hid", "tid"] + list(RELATION_SENSES)
 class SqliteKG:
     """Point-lookup serving API over the reference-schema SQLite file."""
 
-    def __init__(self, db_path: str, chunksize: int = CHUNKSIZE):
+    def __init__(self, db_path: str, chunksize: int = CHUNKSIZE,
+                 create: Optional[bool] = None):
+        """``create`` controls schema DDL on open: True always runs it,
+        False never does, and the default (None) runs it only for a file
+        that does not exist yet — so opening a reference-produced KG.db
+        for reading stays a pure read (no index build, works on read-only
+        files)."""
+        import os
+
+        if create is None:
+            create = not os.path.exists(db_path)
         self._conn = sqlite3.connect(db_path)
         self.chunksize = chunksize
-        self._create_tables()
+        # stock SQLite caps IN-list placeholders at 32766
+        # (SQLITE_MAX_VARIABLE_NUMBER); chunk reads under that even when
+        # the write chunksize mirrors the reference's 32768
+        self._read_chunk = min(chunksize, 32000)
+        if create:
+            self._create_tables()
 
     def close(self):
         if self._conn:
@@ -83,34 +98,38 @@ class SqliteKG:
         self._conn.commit()
 
     # --- writes -----------------------------------------------------------
-    def merge_eventuality_rows(self, rows: Iterable[tuple]):
+    def merge_eventuality_rows(self, rows: Iterable[tuple],
+                               commit: bool = True):
         """Chunked upsert, ``frequency +=`` on conflict (the reference's
         get_update_op("+") merge, db_connection.py:309-341 +
-        kg_connection.py insert paths)."""
+        kg_connection.py insert paths).  ``commit=False`` leaves the rows
+        in the caller's open transaction (see export_kg_to_sqlite)."""
         q = (f"INSERT INTO {EVENTUALITY_TABLE} VALUES (?,?,?,?,?,?,?) "
              "ON CONFLICT(_id) DO UPDATE SET "
              "frequency = frequency + excluded.frequency")
-        self._executemany_chunked(q, rows)
+        self._executemany_chunked(q, rows, commit)
 
-    def merge_relation_rows(self, rows: Iterable[tuple]):
+    def merge_relation_rows(self, rows: Iterable[tuple],
+                            commit: bool = True):
         """Chunked upsert; every sense weight ``+=`` on conflict."""
         n = len(RELATION_COLUMNS)
         sets = ", ".join(f'"{s}" = "{s}" + excluded."{s}"'
                          for s in RELATION_SENSES)
         q = (f"INSERT INTO {RELATION_TABLE} VALUES ({','.join('?' * n)}) "
              f"ON CONFLICT(_id) DO UPDATE SET {sets}")
-        self._executemany_chunked(q, rows)
+        self._executemany_chunked(q, rows, commit)
 
-    def _executemany_chunked(self, q: str, rows: Iterable[tuple]):
+    def _executemany_chunked(self, q: str, rows: Iterable[tuple],
+                             commit: bool = True):
         buf = []
         for r in rows:
             buf.append(r)
             if len(buf) >= self.chunksize:
                 self._conn.executemany(q, buf)
-                self._conn.commit()
                 buf.clear()
         if buf:
             self._conn.executemany(q, buf)
+        if commit:
             self._conn.commit()
 
     # --- reads (the ASERKGConnection lookup surface) ----------------------
@@ -126,8 +145,8 @@ class SqliteKG:
         misses — SqliteDBConnection.select_rows semantics
         (db_connection.py:249-278)."""
         cache = {}
-        for i in range(0, len(eids), self.chunksize):
-            chunk = eids[i:i + self.chunksize]
+        for i in range(0, len(eids), self._read_chunk):
+            chunk = eids[i:i + self._read_chunk]
             q = (f"SELECT {','.join(EVENTUALITY_COLUMNS)} FROM "
                  f"{EVENTUALITY_TABLE} WHERE _id IN "
                  f"({','.join('?' * len(chunk))})")
@@ -191,9 +210,15 @@ def export_kg_to_sqlite(nodes, edges, db_path: str,
     node_rows = nodes.select("eid", "frequency", "pattern", "verbs",
                              "skeleton_words", "words", info)
     wide = edges_wide(edges)
-    with SqliteKG(db_path, chunksize) as kg:
-        kg.merge_eventuality_rows(tuple(r) for r in node_rows.toLocalIterator())
-        kg.merge_relation_rows(tuple(r) for r in wide.toLocalIterator())
+    with SqliteKG(db_path, chunksize, create=True) as kg:
+        # ONE transaction for the whole export: a mid-export failure rolls
+        # back entirely (sqlite discards the uncommitted half on close), so
+        # a retry never double-applies the += merges
+        kg.merge_eventuality_rows(
+            (tuple(r) for r in node_rows.toLocalIterator()), commit=False)
+        kg.merge_relation_rows(
+            (tuple(r) for r in wide.toLocalIterator()), commit=False)
+        kg._conn.commit()
         return kg.stats()
 
 
@@ -201,7 +226,7 @@ def load_kg_from_sqlite(spark, db_path: str, chunksize: int = CHUNKSIZE):
     """Read a (reference-produced or exported) KG.db back into DataFrames —
     the migration path for existing reference users.  Bounded use: serving
     DBs are core-KG sized; the distributed store remains parquet."""
-    with SqliteKG(db_path, chunksize) as kg:
+    with SqliteKG(db_path, chunksize, create=False) as kg:
         ev = kg._conn.execute(
             f"SELECT {','.join(EVENTUALITY_COLUMNS)} FROM {EVENTUALITY_TABLE}")
         nodes = spark.createDataFrame(

@@ -93,3 +93,12 @@ def test_near_dup_groups(spark):
     # the near-identical trio should actually collide
     assert out[1][0] == out[2][0] == out[4][0]
     assert out[3][0] == 3 and out[5][0] == 5
+
+
+def test_star_cc_raises_when_not_converged(spark):
+    import pytest
+    from aser_spark.graphops import connected_components_star
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(df, "src", "dst", max_iter=1)

@@ -80,6 +80,8 @@ def test_round_trip_load(spark, tmp_path):
     nodes, edges = _toy_kg(spark)
     db = str(tmp_path / "kg_rt.db")
     export_kg_to_sqlite(nodes, edges, db)
+    import os
+    os.chmod(db, 0o444)  # reading a reference-produced KG.db must not write
     rn, re_ = load_kg_from_sqlite(spark, db)
     assert {(r["eid"], r["frequency"], r["words"]) for r in rn.collect()} == \
         {(r["eid"], r["frequency"], r["words"]) for r in nodes.collect()}

@@ -586,6 +586,20 @@ def _q_decontaminate_documents(spark, sf_dir):
     return benchmark_contamination(d, bench, n=8, min_containment=0.5)
 
 
+def _q_pack_documents(spark, sf_dir):
+    """Sequence packing (concat-then-chunk at 512 tokens) via distributed
+    two-phase prefix sum — per-shard running sums in parallel plus a
+    broadcast of the tiny shard-base table; the oracle is the plain
+    global window cumsum."""
+    _ship_package(spark)
+    from aser_spark.textops import pack_documents
+
+    d = _t(spark, sf_dir, "documents")
+    out = pack_documents(d, seq_len=512, shard_size=64)
+    return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "seq_id", "seq_offset")
+
+
 def _q_near_dup_groups(spark, sf_dir):
     """Production dedup shape: MinHash -> banded LSH pairs -> large-star/
     small-star connected components -> (doc_id, duplicate-group id,
@@ -652,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "near_dup_groups": _q_near_dup_groups,
         "stratified_sample_documents": _q_stratified_sample_documents,
+        "pack_documents": _q_pack_documents,
         "decontaminate_documents": _q_decontaminate_documents,
         "media_features": _q_media_features,
     }
@@ -1055,6 +1070,17 @@ def oracle_sql() -> dict[str, str]:
                 {" ".join(f"WHEN '{k}' THEN {int(v * float(2 ** 60))}"
                           for k, v in sorted(_SAMPLE_RATES.items()))}
                 ELSE 0 END
+        """,
+        "pack_documents": f"""
+            WITH t AS (SELECT doc_id,
+                              len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+                  FROM t)
+            SELECT doc_id, n_tokens, s // 512 AS seq_id, s % 512 AS seq_offset
+            FROM c
         """,
         "decontaminate_documents": f"""
             WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),

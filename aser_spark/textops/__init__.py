@@ -14,7 +14,7 @@ from .dedup import (exact_duplicates, minhash_signatures, lsh_candidate_pairs,
 from .quality import (document_fingerprint, language_id, quality_scores,
                       token_stats)
 from .selection import (benchmark_contamination, hash_sample,
-                        stratified_hash_sample)
+                        pack_documents, stratified_hash_sample)
 from .similarity import (brute_force_cosine_topk, embedding_near_duplicates,
                          ivf_ann_topk, ivf_ann_topk_grid,
                          hyperplane_signatures, lsh_ann_topk,

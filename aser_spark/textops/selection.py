@@ -9,9 +9,9 @@ primitive family as textops/dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import _hash60, doc_grams
+from .dedup import _hash60, _norm as _norm_sel, doc_grams
 
 
 def benchmark_contamination(documents: DataFrame, benchmarks: DataFrame,
@@ -76,5 +76,43 @@ def stratified_hash_sample(documents: DataFrame, rates: dict,
     return documents.filter(h < thresh)
 
 
+def pack_documents(documents: DataFrame, seq_len: int,
+                   shard_size: int = 4096) -> DataFrame:
+    """Sequence packing for training: concatenate documents in doc_id
+    order and cut every ``seq_len`` tokens (the standard "concat then
+    chunk" packing); each document is assigned the sequence index and
+    token offset where it STARTS.
+
+    Scale shape — distributed prefix sum, NOT a global window: a plain
+    ``SUM() OVER (ORDER BY doc_id)`` funnels the whole corpus through one
+    partition.  Instead: contiguous doc_id shards get per-shard running
+    sums in parallel (window partitioned by shard), the tiny per-shard
+    totals table computes shard base offsets with one window over
+    n_shards rows, and a broadcast join adds the base back.  One sort per
+    shard + one broadcast — the same plan at 10^9 documents.
+
+    Output: (doc_id, n_tokens, seq_id, seq_offset)."""
+    toks = documents.select(
+        "doc_id",
+        F.size(F.split(_norm_sel(F.col("text")), " ")).alias("n_tokens"),
+        (F.col("doc_id") / shard_size).cast("long").alias("_shard"))
+    w_in = (Window.partitionBy("_shard").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = toks.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
+    shard_totals = (toks.groupBy("_shard")
+                    .agg(F.sum("n_tokens").alias("_tot")))
+    w_sh = (Window.orderBy("_shard")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    base = shard_totals.withColumn(
+        "_base", F.coalesce(F.sum("_tot").over(w_sh), F.lit(0))).drop("_tot")
+    start = (F.col("_base") + F.col("_cum_in") - F.col("n_tokens"))
+    return (
+        local.join(F.broadcast(base), "_shard")
+        .select("doc_id", "n_tokens",
+                (start / seq_len).cast("long").alias("seq_id"),
+                (start % seq_len).cast("long").alias("seq_offset"))
+    )
+
+
 __all__ = ["benchmark_contamination", "hash_sample",
-           "stratified_hash_sample"]
+           "stratified_hash_sample", "pack_documents"]

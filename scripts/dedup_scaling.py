@@ -1,0 +1,107 @@
+"""Scaling evidence for the near-duplicate grouping pipeline
+(minhash -> banded LSH -> star connected components).
+
+Same alternating best-of protocol as scaling_bench.py (the host throttles;
+best-of approximates unthrottled capacity), run at two parallelism levels
+via spark-submit --py-files; appends a section to BENCH/BASELINE.md.
+
+Usage: python scripts/dedup_scaling.py [n_docs] [low] [high] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+from scaling_bench import build_zip, run_once as _kg_run_once  # noqa: F401
+import scaling_bench
+
+REPO = Path(__file__).resolve().parent.parent
+JOB = REPO / "scripts" / "_dedup_job.py"
+
+
+def run_once(cpus: int, n_docs: int, pyfiles: str) -> dict:
+    import shutil
+    import subprocess
+
+    candidate = Path(sys.executable).parent / "spark-submit"
+    spark_submit = str(candidate) if candidate.exists() else shutil.which("spark-submit")
+    out = subprocess.run(
+        [spark_submit,
+         "--master", f"local[{cpus}]",
+         "--py-files", pyfiles,
+         "--conf", "spark.sql.adaptive.enabled=true",
+         "--conf", f"spark.sql.shuffle.partitions={max(cpus * 2, 8)}",
+         "--conf", "spark.ui.enabled=false",
+         "--driver-memory", "16g",
+         str(JOB), str(n_docs), str(cpus)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON (cpus={cpus}):\n{out.stdout[-1500:]}\n"
+                       f"{out.stderr[-1500:]}")
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+
+    pyfiles = build_zip()
+    runs_low, runs_high = [], []
+    for i, (cpus, bucket) in enumerate(
+            [(low, runs_low), (high, runs_high)] * repeats):
+        r = run_once(cpus, n_docs, pyfiles)
+        bucket.append(r)
+        print(f"run {i + 1}/{2 * repeats} local[{cpus}]: "
+              f"{r['docs_per_sec']} docs/s ({r['n_groups']} groups)",
+              file=sys.stderr, flush=True)
+        time.sleep(10)
+
+    r_low = max(runs_low, key=lambda r: r["docs_per_sec"])
+    r_high = max(runs_high, key=lambda r: r["docs_per_sec"])
+    speedup = r_high["docs_per_sec"] / r_low["docs_per_sec"]
+    efficiency = speedup / (high / low)
+    sp_pairs = r_high["pairs_docs_per_sec"] / r_low["pairs_docs_per_sec"]
+    eff_pairs = sp_pairs / (high / low)
+    same = all(r["n_groups"] == r_low["n_groups"]
+               for r in runs_low + runs_high)
+    md = f"""
+
+## Near-duplicate grouping scaling (round-3 continuation)
+
+The full dedup pipeline shape (`near_dup_groups`: MinHash num_perm=16 ->
+banded LSH -> large-star/small-star components -> canonical flags) on a
+synthetic {n_docs}-doc corpus with planted near-dup clusters
+(`scripts/_dedup_job.py`), same alternating best-of-{repeats} protocol:
+
+| parallelism | docs | pair gen (s) | CC tail (s) | total docs/s | groups |
+|---|---|---|---|---|---|
+| local[{low}] (N) | {r_low['n_docs']} | {r_low['pairs_sec']} | {r_low['cc_sec']} | {r_low['docs_per_sec']} | {r_low['n_groups']} |
+| local[{high}] (4N) | {r_high['n_docs']} | {r_high['pairs_sec']} | {r_high['cc_sec']} | {r_high['docs_per_sec']} | {r_high['n_groups']} |
+
+- pair-generation stage (the corpus-proportional bulk) speedup
+  {low}->{high} cores: **{sp_pairs:.2f}x** (ideal {high // low}x),
+  efficiency **{eff_pairs:.2f}**
+- end-to-end speedup: **{speedup:.2f}x**, efficiency **{efficiency:.2f}**
+  — the gap is the star-CC tail, a FIXED number of bounded rounds
+  (driver-scheduled convergence checks) whose cost depends on the PAIR
+  graph, not the corpus: at 1000x the documents the tail grows ~log n
+  while pair generation grows linearly, so end-to-end efficiency
+  approaches the pair-stage number at scale
+- identical group counts across all {2 * repeats} runs: {same}
+- all runs (total docs/s): low {[r['docs_per_sec'] for r in runs_low]}, \
+high {[r['docs_per_sec'] for r in runs_high]}
+"""
+    out = REPO / "BENCH" / "BASELINE.md"
+    out.write_text(out.read_text() + md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()

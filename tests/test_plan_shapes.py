@@ -168,3 +168,16 @@ def test_stratified_sample_is_pure_filter(spark):
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_documents_prefix_sum_not_global_window(spark):
+    """Packing must run the corpus-sized window PARTITIONED by shard (the
+    distributed prefix sum) and add shard bases via broadcast; only the
+    n_shards-row base table may use an unpartitioned window."""
+    from aser_spark.textops import pack_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_documents(docs, seq_len=512, shard_size=64), "formatted")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the doc-side window carries the shard partition key
+    assert "partitionBy=[_shard" in plan.replace(" ", "") or "_shard" in plan

@@ -55,3 +55,23 @@ def test_stratified_hash_sample(spark):
     plain = hash_sample(docs.filter(F.col("lang") == "en"), 0.4)
     assert sorted(r["doc_id"] for r in half.collect()) == \
         sorted(r["doc_id"] for r in plain.collect())
+
+
+def test_pack_documents_matches_serial_packing(spark):
+    from aser_spark.textops import pack_documents
+
+    docs = [(i, " ".join("w" * 1 for _ in range(5 + (i * 7) % 23)))
+            for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+           for r in pack_documents(df, seq_len=64, shard_size=32).collect()}
+    # serial ground truth: concat in doc_id order, chunk every 64 tokens
+    cum = 0
+    for i, text in docs:
+        n = len(text.split(" "))
+        assert got[i] == (n, cum // 64, cum % 64), i
+        cum += n
+    # shard size is an implementation knob, not a semantic one
+    alt = {r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
+           for r in pack_documents(df, seq_len=64, shard_size=7).collect()}
+    assert alt == got

@@ -99,8 +99,11 @@ def pack_documents(documents: DataFrame, seq_len: int,
     w_in = (Window.partitionBy("_shard").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = toks.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
-    shard_totals = (toks.groupBy("_shard")
-                    .agg(F.sum("n_tokens").alias("_tot")))
+    # shard totals come from the WINDOW OUTPUT (max running sum), not a
+    # second scan of toks: local is already hash-partitioned by _shard, so
+    # this groupBy adds no exchange and the corpus tokenization runs once
+    shard_totals = (local.groupBy("_shard")
+                    .agg(F.max("_cum_in").alias("_tot")))
     w_sh = (Window.orderBy("_shard")
             .rowsBetween(Window.unboundedPreceding, -1))
     base = shard_totals.withColumn(

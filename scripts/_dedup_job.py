@@ -2,9 +2,11 @@
 level (scaling evidence for the dedup pipeline shape).
 
 Synthesizes a deterministic corpus with planted near-duplicate clusters
-(every base doc has 0-3 mutated copies), runs
-minhash -> LSH pairs -> star connected components -> canonical flags, and
-prints one JSON line {n_docs, cpus, wall_sec, docs_per_sec, n_groups}.
+(in every 5-doc block, docs 1 and 2 are single-word mutations of doc 0, so
+expected groups = 3/5 of n_docs), runs the same stages near_dup_groups
+composes — minhash -> LSH pairs -> star connected components -> canonical
+flags — with the two phases timed separately, and prints one JSON line
+{n_docs, cpus, wall_sec, pairs_sec, cc_sec, docs_per_sec, n_groups}.
 
 Usage: spark-submit --py-files aser_spark.zip _dedup_job.py N_DOCS CPUS
 """
@@ -35,8 +37,6 @@ def main():
 
     spark = (SparkSession.builder.appName(f"dedup-scale-{cpus}")
              .getOrCreate())
-    from aser_spark.textops import near_dup_groups
-
     from aser_spark.graphops import connected_components_star
     from aser_spark.textops import lsh_candidate_pairs, minhash_signatures
 

@@ -10,40 +10,19 @@ Usage: python scripts/dedup_scaling.py [n_docs] [low] [high] [repeats]
 
 from __future__ import annotations
 
-import json
 import sys
 import time
 from pathlib import Path
 
-from scaling_bench import build_zip, run_once as _kg_run_once  # noqa: F401
-import scaling_bench
+from scaling_bench import build_zip, run_once as _run_job
 
 REPO = Path(__file__).resolve().parent.parent
 JOB = REPO / "scripts" / "_dedup_job.py"
 
 
 def run_once(cpus: int, n_docs: int, pyfiles: str) -> dict:
-    import shutil
-    import subprocess
-
-    candidate = Path(sys.executable).parent / "spark-submit"
-    spark_submit = str(candidate) if candidate.exists() else shutil.which("spark-submit")
-    out = subprocess.run(
-        [spark_submit,
-         "--master", f"local[{cpus}]",
-         "--py-files", pyfiles,
-         "--conf", "spark.sql.adaptive.enabled=true",
-         "--conf", f"spark.sql.shuffle.partitions={max(cpus * 2, 8)}",
-         "--conf", "spark.ui.enabled=false",
-         "--driver-memory", "16g",
-         str(JOB), str(n_docs), str(cpus)],
-        capture_output=True, text=True, timeout=1800,
-    )
-    for line in reversed(out.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"no JSON (cpus={cpus}):\n{out.stdout[-1500:]}\n"
-                       f"{out.stderr[-1500:]}")
+    return _run_job(cpus, n_docs, pyfiles, job=JOB,
+                    job_args=[n_docs, cpus], timeout=1800)
 
 
 def main():
@@ -83,10 +62,10 @@ synthetic {n_docs}-doc corpus with planted near-dup clusters
 | parallelism | docs | pair gen (s) | CC tail (s) | total docs/s | groups |
 |---|---|---|---|---|---|
 | local[{low}] (N) | {r_low['n_docs']} | {r_low['pairs_sec']} | {r_low['cc_sec']} | {r_low['docs_per_sec']} | {r_low['n_groups']} |
-| local[{high}] (4N) | {r_high['n_docs']} | {r_high['pairs_sec']} | {r_high['cc_sec']} | {r_high['docs_per_sec']} | {r_high['n_groups']} |
+| local[{high}] ({high / low:g}N) | {r_high['n_docs']} | {r_high['pairs_sec']} | {r_high['cc_sec']} | {r_high['docs_per_sec']} | {r_high['n_groups']} |
 
 - pair-generation stage (the corpus-proportional bulk) speedup
-  {low}->{high} cores: **{sp_pairs:.2f}x** (ideal {high // low}x),
+  {low}->{high} cores: **{sp_pairs:.2f}x** (ideal {high / low:g}x),
   efficiency **{eff_pairs:.2f}**
 - end-to-end speedup: **{speedup:.2f}x**, efficiency **{efficiency:.2f}**
   — the gap is the star-CC tail, a FIXED number of bounded rounds

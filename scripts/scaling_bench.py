@@ -37,11 +37,20 @@ def build_zip() -> str:
     return zpath
 
 
-def run_once(cpus: int, n_convs: int, pyfiles: str, mode: str = "seed") -> dict:
+def run_once(cpus: int, n_convs: int, pyfiles: str, mode: str = "seed",
+             job=None, job_args=None, timeout: int = 3600) -> dict:
+    """Run one spark-submit job and parse its JSON line.  ``job``/
+    ``job_args`` default to the flagship KG job; other scaling scripts
+    (dedup_scaling.py) pass their own job so the launcher lives once."""
     # prefer the pip-pyspark spark-submit (same Spark build the rest of the
     # repo runs on); fall back to whatever is on PATH
     candidate = Path(sys.executable).parent / "spark-submit"
     spark_submit = str(candidate) if candidate.exists() else shutil.which("spark-submit")
+    if spark_submit is None:
+        raise RuntimeError("spark-submit not found (neither next to the "
+                           "python interpreter nor on PATH)")
+    args = ([str(a) for a in job_args] if job_args is not None
+            else [str(n_convs), str(cpus), mode])
     out = subprocess.run(
         [spark_submit,
          "--master", f"local[{cpus}]",
@@ -53,8 +62,8 @@ def run_once(cpus: int, n_convs: int, pyfiles: str, mode: str = "seed") -> dict:
          # generous heap: at 16+ task threads the Arrow/UDF allocation rate
          # makes an 8g heap GC-bound and silently destroys scaling
          "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
-         str(JOB), str(n_convs), str(cpus), mode],
-        capture_output=True, text=True, timeout=3600,
+         str(job or JOB), *args],
+        capture_output=True, text=True, timeout=timeout,
     )
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):

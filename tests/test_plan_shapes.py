@@ -179,5 +179,8 @@ def test_pack_documents_prefix_sum_not_global_window(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(pack_documents(docs, seq_len=512, shard_size=64), "formatted")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    # the doc-side window carries the shard partition key
-    assert "partitionBy=[_shard" in plan.replace(" ", "") or "_shard" in plan
+    # the corpus-side window renders as
+    # windowspecdefinition(_shard#N, doc_id#M ASC ...): partitioned by
+    # shard, ordered by doc_id.  A regression to an unpartitioned global
+    # window would render windowspecdefinition(doc_id#M ASC ...) instead.
+    assert re.search(r"windowspecdefinition\(_shard#\d+L?, doc_id#\d+", plan)

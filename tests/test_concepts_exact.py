@@ -127,3 +127,38 @@ def test_probase_concepts_exact_spark_matches_pure(spark):
     assert got == want
     # e2: PERSON ner -> __PERSON__0 seed form, beam empty -> fallback row
     assert ("e2", 0, "__PERSON__0 sleep", 1.0) in got
+
+
+def test_exact_conceptualizer_edge_cases():
+    """Pure-python edge semantics pinned against the reference class:
+    repeated instance words substitute at ALL positions; seed-concept and
+    pronoun nouns are skipped; empty/no-noun inputs fall back."""
+    from aser_spark.pipeline.concepts import probase_rows
+    from aser_spark.pipeline.concepts_exact import (build_probase_index,
+                                                    exact_concept_rows)
+
+    index = build_probase_index(probase_rows())
+    ref = _load_reference_conceptualizer(index)
+
+    cases = [
+        # "dog ... dog": word2indices has two positions for one key
+        ("the dog chase the dog", "DT NN VB DT NN", "O O O O O"),
+        # pronoun noun ("it") skipped by the PRONOUNS guard
+        ("it break", "NN VB", "O O"),
+        # no NN at all -> empty beam -> seed fallback at 1.0
+        ("he sleep", "PRP VB", "O O"),
+        # OOV noun -> no concepts -> fallback
+        ("the zzz hum", "DT NN VB", "O O O"),
+    ]
+    for words, tags, ners in cases:
+        toks, tg, nr = words.split(" "), tags.split(" "), ners.split(" ")
+        ev = SimpleNamespace(skeleton_phrases=toks, skeleton_phrases_ners=nr,
+                             skeleton_pos_tags=tg)
+        got = [(c, s) for _r, c, s in exact_concept_rows(toks, tg, nr, index)]
+        want = [(str(c), s) for c, s in ref.conceptualize(ev)]
+        assert got == want, (words, got, want)
+    # the double-dog case must substitute both occurrences together
+    double = [c for _r, c, _s in exact_concept_rows(
+        "the dog chase the dog".split(), "DT NN VB DT NN".split(),
+        ["O"] * 5, index)]
+    assert all(c.split(" ")[1] == c.split(" ")[4] for c in double)

@@ -109,3 +109,24 @@ def test_core_kg_export_from_pipeline(spark, tmp_path):
         ev = kg.get_exact_match_eventuality(some["eid"])
         assert ev["words"] == some["words"]
         assert ev["frequency"] == some["frequency"]
+
+
+def test_chunked_reads_and_writes_pure_sqlite(tmp_path):
+    """No-Spark path: tiny chunksize forces many read/write chunks; order
+    and None-placement must survive chunk boundaries, and reads must not
+    require more SQL variables than the chunk allows."""
+    from aser_spark.serving_sqlite import SqliteKG
+
+    db = str(tmp_path / "chunks.db")
+    with SqliteKG(db, chunksize=3) as kg:
+        kg.merge_eventuality_rows(
+            (f"e{i}", float(i), "s-v", "v", "w", f"w{i}", None)
+            for i in range(10))
+        ids = [f"e{i}" for i in range(9, -1, -1)] + ["nope", "e0"]
+        got = kg.get_exact_match_eventualities(ids)
+        assert [g and g["_id"] for g in got] == ids[:10] + [None, "e0"]
+        # second merge pass: += applied once per row, across chunk splits
+        kg.merge_eventuality_rows(
+            (f"e{i}", 0.5, "s-v", "v", "w", f"w{i}", None) for i in range(10))
+        assert kg.get_exact_match_eventuality("e7")["frequency"] == 7.5
+        assert kg.stats()["n_eventualities"] == 10

@@ -1073,13 +1073,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_documents": f"""
             WITH t AS (SELECT doc_id,
-                              len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+                              CAST(len(string_split({_NORM_SQL}, ' '))
+                                   AS BIGINT) AS n_tokens
                        FROM documents),
             c AS (SELECT doc_id, n_tokens,
-                         SUM(n_tokens) OVER (ORDER BY doc_id
-                           ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+                         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens
+                           AS BIGINT) AS s
                   FROM t)
-            SELECT doc_id, n_tokens, s // 512 AS seq_id, s % 512 AS seq_offset
+            -- DuckDB SUM(BIGINT) yields HUGEINT, which survives // and %
+            -- and hash-mismatches the driver's value compare vs Spark's
+            -- longs; every derived column is therefore pinned to BIGINT
+            SELECT doc_id, n_tokens,
+                   CAST(s // 512 AS BIGINT) AS seq_id,
+                   CAST(s % 512 AS BIGINT) AS seq_offset
             FROM c
         """,
         "decontaminate_documents": f"""

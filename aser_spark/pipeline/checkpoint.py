@@ -146,7 +146,15 @@ def run_extraction_checkpointed(spark, transcripts: DataFrame, workdir: str,
         rows = (ck.filter(F.col("status") == "done")
                 .select("part_id", "mode").collect())
         prior_modes = {r.mode for r in rows}
-        prior_modes.discard(None)  # pre-mode-column legacy rows
+        if None in prior_modes:
+            # legacy pre-mode-column rows: we cannot prove which kernel
+            # produced them, so resuming under EITHER mode risks a mixed
+            # instances table — refuse, like the streaming '<unrecorded>'
+            # marker path, instead of silently assuming compatibility
+            raise ValueError(
+                f"workdir {workdir} holds committed partitions with no "
+                "recorded extraction mode (pre-mode-column layout); "
+                "refusing to resume — re-extract into a fresh workdir")
         if prior_modes - {mode}:
             raise ValueError(
                 f"workdir {workdir} holds partitions extracted with mode="

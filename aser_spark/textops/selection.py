@@ -94,8 +94,11 @@ def pack_documents(documents: DataFrame, seq_len: int,
     Output: (doc_id, n_tokens, seq_id, seq_offset)."""
     toks = documents.select(
         "doc_id",
-        F.size(F.split(_norm_sel(F.col("text")), " ")).alias("n_tokens"),
-        (F.col("doc_id") / shard_size).cast("long").alias("_shard"))
+        F.size(F.split(_norm_sel(F.col("text")), " ")).cast("long")
+        .alias("n_tokens"),
+        # `div` is integral long division — a double `/` + cast loses
+        # integer exactness past 2^53, which a 100 TB corpus exceeds
+        F.expr(f"doc_id div {int(shard_size)}").alias("_shard"))
     w_in = (Window.partitionBy("_shard").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = toks.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
@@ -108,12 +111,14 @@ def pack_documents(documents: DataFrame, seq_len: int,
             .rowsBetween(Window.unboundedPreceding, -1))
     base = shard_totals.withColumn(
         "_base", F.coalesce(F.sum("_tot").over(w_sh), F.lit(0))).drop("_tot")
-    start = (F.col("_base") + F.col("_cum_in") - F.col("n_tokens"))
     return (
         local.join(F.broadcast(base), "_shard")
+        .withColumn("_start",
+                    (F.col("_base") + F.col("_cum_in") - F.col("n_tokens"))
+                    .cast("long"))
         .select("doc_id", "n_tokens",
-                (start / seq_len).cast("long").alias("seq_id"),
-                (start % seq_len).cast("long").alias("seq_offset"))
+                F.expr(f"_start div {int(seq_len)}").alias("seq_id"),
+                (F.col("_start") % seq_len).cast("long").alias("seq_offset"))
     )
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import sys
+from decimal import Decimal
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -16,20 +17,53 @@ sys.path.insert(0, str(REPO))
 
 
 def normalize(v):
+    """TYPE-STRICT normalization: the tag prefix makes int 12345 differ
+    from float 12345.0 — exactly the class of divergence the driver's
+    hash gate catches (e.g. DuckDB HUGEINT materializing as float64)
+    that a bare ``%.10g`` text compare masks (CORRECTNESS_r03
+    pack_documents)."""
+    import numpy as np
+
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
-            return "NaN"
-        # driver-style: stable float text; collapse -0.0/0.0
+            # pandas renders SQL NULL in numeric columns as NaN, so NaN
+            # and NULL must normalize identically on both sides
+            return "NULL"
         if v == 0:
-            return "0"
-        return f"{v:.10g}"
-    if isinstance(v, (int,)):
-        return str(v)
-    return str(v)
+            return "f:0"
+        return f"f:{v:.10g}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, Decimal):
+        s = str(v)
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return f"d:{s or '0'}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"y:{bytes(v).hex()}"
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(normalize(x) for x in v) + "]"
+    return f"s:{v}"
+
+
+def _is_na_scalar(x):
+    """True for scalar NaN/NaT/None out of pandas; never touches arrays."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(x, (list, tuple, dict, np.ndarray)):
+        return False
+    try:
+        return bool(pd.isna(x))
+    except (TypeError, ValueError):
+        return False
 
 
 def row_key(row, col_order):
@@ -71,7 +105,11 @@ def main():
         try:
             ddf = con.sql(oracles[name])
             dcols = [d[0] for d in ddf.description]
-            drows = ddf.fetchall()
+            # materialize through pandas like the driver does — this is
+            # where HUGEINT becomes float64 and trips the type tags above
+            dpdf = ddf.df()
+            drows = [tuple(None if _is_na_scalar(x) else x for x in r)
+                     for r in dpdf.itertuples(index=False, name=None)]
         except Exception as ex:
             print(f"[DUCK-FAIL ] {name}: {str(ex)[:300]}")
             n_bad += 1

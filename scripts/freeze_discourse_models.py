@@ -33,8 +33,21 @@ REF = Path("/root/reference/aser/extract/discourse")
 OUT = REPO / "aser_spark" / "resources"
 
 
+# Deny-by-default unpickling: /root/reference is untrusted content, so
+# only the exact numpy reconstruction globals the sklearn-0.22 LR pickles
+# actually use may resolve — anything else (os.system, builtins.eval, …)
+# raises instead of executing.
+_ALLOWED_GLOBALS = {
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+}
+
+
 class _StubUnpickler(pickle.Unpickler):
-    """Map sklearn classes to attribute-capturing shells."""
+    """Map sklearn/scipy classes to attribute-capturing shells; allow only
+    the numpy globals the LR pickles need; refuse everything else."""
 
     def find_class(self, module, name):
         if module.startswith(("sklearn", "scipy")):
@@ -48,7 +61,11 @@ class _StubUnpickler(pickle.Unpickler):
 
             t.__setstate__ = _setstate
             return t
-        return super().find_class(module, name)
+        if (module, name) in _ALLOWED_GLOBALS:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle disallowed global {module}.{name} "
+            "from untrusted reference pickle")
 
 
 def _load_model(path: Path):

@@ -194,6 +194,26 @@ def test_checkpoint_mode_mismatch_fails_fast(spark, transcripts, tmp_path):
                                     n_parts=4, mode="discourse")
 
 
+def test_checkpoint_legacy_unrecorded_mode_refuses(spark, transcripts,
+                                                   tmp_path):
+    """A pre-mode-column workdir (committed rows with NULL mode) must
+    refuse to resume under ANY mode — we cannot prove which kernel
+    produced the committed partitions, mirroring the streaming path's
+    '<unrecorded>' marker refusal."""
+    from aser_spark.pipeline.checkpoint import (CHECKPOINT_SCHEMA,
+                                                run_extraction_checkpointed)
+
+    wd = str(tmp_path / "kg_legacy")
+    legacy = spark.createDataFrame(
+        [(0, 1, 1, 1, "done", "transcripts", None, 1, "2025-01-01")],
+        CHECKPOINT_SCHEMA)
+    legacy.write.parquet(f"{wd}/_checkpoints")
+    for m in ("seed", "discourse"):
+        with pytest.raises(ValueError, match="no recorded extraction mode"):
+            run_extraction_checkpointed(spark, transcripts.limit(50), wd,
+                                        n_parts=4, mode=m)
+
+
 def test_checkpoint_resume(spark, transcripts, tmp_path):
     from aser_spark.pipeline.checkpoint import (done_part_ids,
                                                 run_extraction_checkpointed)

@@ -521,13 +521,27 @@ def _q_mention_alias_expansion(spark, sf_dir):
 
 
 def _q_ivf_ann_topk(spark, sf_dir):
-    """IVF ANN, deterministic-quantizer variant (the oracled stand-in for
-    the KMeans-trained ivf_ann_topk — identical list/probe/rerank plan)."""
+    """IVF ANN, fixed-seeding quantizer variant (zero-fit baseline of the
+    IVF family; see ivf_ann_topk_trained for the trained quantizer)."""
     _ship_package(spark)
     from aser_spark.textops import ivf_ann_topk_grid
 
     return ivf_ann_topk_grid(_t(spark, sf_dir, "embeddings"),
                              k=3, n_lists=8, n_probe=2)
+
+
+def _q_ivf_ann_topk_trained(spark, sf_dir):
+    """Trained-quantizer IVF (textops/similarity.py:ivf_ann_topk_trained):
+    deterministic numpy Lloyd centroids over a bounded fit block, then the
+    shared broadcast assignment/probe/rerank plan.  The oracle replays the
+    assignment from the SAME centroid constants (embedded as DOUBLE[]
+    literals, like the Rademacher planes)."""
+    _ship_package(spark)
+    from aser_spark.textops import ivf_ann_topk_trained
+
+    return ivf_ann_topk_trained(_t(spark, sf_dir, "embeddings"),
+                                k=3, n_lists=8, n_probe=2, n_iters=5,
+                                seed=7, max_fit=400)
 
 
 def _q_kg_node_ner_profiles(spark, sf_dir):
@@ -643,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_signatures": _q_lsh_signatures,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "ivf_ann_topk_trained": _q_ivf_ann_topk_trained,
         "embedding_near_dups": _q_embedding_near_dups,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
@@ -692,6 +707,31 @@ def _emb_dim() -> int:
         return len(t.column(0)[0])
     except Exception:
         return 64
+
+
+def _ivf_trained_centroids_sql(n_lists: int = 8, n_iters: int = 5,
+                               seed: int = 7, max_fit: int = 400) -> str:
+    """Centroid constants for the trained-IVF oracle, embedded as DOUBLE[]
+    literals the way the Rademacher planes are: the SAME
+    fit_ivf_centroids numpy fit the Spark query runs, over the same fit
+    block (first max_fit sf0.01 vectors by vec_id), rendered with repr()
+    so every double round-trips exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from aser_spark.textops import fit_ivf_centroids
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vid = np.asarray(t.column("vec_id"))
+    embs = t.column("embedding").to_pylist()
+    X = [embs[i] for i in np.argsort(vid)[:max_fit]]
+    C = fit_ivf_centroids(X, n_lists, n_iters, seed)
+    rows = ", ".join(
+        "(CAST({} AS BIGINT), CAST([{}] AS DOUBLE[]))".format(
+            i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(C))
+    return f"(SELECT * FROM (VALUES {rows}) _c(list_id, cemb))"
 
 
 def _sig_sql(n_planes: int, table: int, dim: int) -> str:
@@ -1339,6 +1379,38 @@ def oracle_sql() -> dict[str, str]:
                        FROM embeddings),
             c AS (SELECT vec_id AS list_id, emb AS cemb FROM e
                   ORDER BY vec_id LIMIT 8),
+            d AS (SELECT e.vec_id, c.list_id,
+                         ROUND(list_dot_product(e.emb, e.emb)
+                               - 2 * list_dot_product(e.emb, c.cemb)
+                               + list_dot_product(c.cemb, c.cemb), 6) AS sqd
+                  FROM e CROSS JOIN c),
+            rk AS (SELECT vec_id, list_id,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sqd, list_id) AS rn
+                   FROM d),
+            assigned AS (SELECT vec_id AS cid, list_id FROM rk WHERE rn = 1),
+            probes AS (SELECT vec_id AS qid, list_id FROM rk WHERE rn <= 2),
+            cand AS (SELECT DISTINCT p.qid, a.cid
+                     FROM probes p JOIN assigned a USING (list_id)
+                     WHERE a.cid != p.qid),
+            pairs AS (SELECT qid, cid,
+                             ROUND(list_dot_product(ea.emb, eb.emb) /
+                                   (sqrt(list_dot_product(ea.emb, ea.emb)) *
+                                    sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cos_sim
+                      FROM cand
+                      JOIN e ea ON ea.vec_id = qid
+                      JOIN e eb ON eb.vec_id = cid),
+            r AS (SELECT qid, cid, cos_sim,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY cos_sim DESC, cid ASC) AS rank
+                  FROM pairs)
+            SELECT qid, CAST(rank AS INT) AS rank, cid, cos_sim
+            FROM r WHERE rank <= 3
+        """,
+        "ivf_ann_topk_trained": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            c AS (SELECT list_id, cemb FROM {_ivf_trained_centroids_sql()}),
             d AS (SELECT e.vec_id, c.list_id,
                          ROUND(list_dot_product(e.emb, e.emb)
                                - 2 * list_dot_product(e.emb, c.cemb)

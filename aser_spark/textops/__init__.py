@@ -16,7 +16,8 @@ from .quality import (document_fingerprint, language_id, quality_scores,
 from .selection import (benchmark_contamination, hash_sample,
                         pack_documents, stratified_hash_sample)
 from .similarity import (brute_force_cosine_topk, embedding_near_duplicates,
-                         ivf_ann_topk, ivf_ann_topk_grid,
-                         hyperplane_signatures, lsh_ann_topk,
-                         lsh_candidate_vector_pairs, lsh_table_signatures,
-                         rademacher_planes, suggest_n_planes)
+                         fit_ivf_centroids, ivf_ann_topk, ivf_ann_topk_grid,
+                         ivf_ann_topk_trained, hyperplane_signatures,
+                         lsh_ann_topk, lsh_candidate_vector_pairs,
+                         lsh_table_signatures, rademacher_planes,
+                         suggest_n_planes)

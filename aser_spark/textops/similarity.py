@@ -341,23 +341,43 @@ def ivf_ann_topk(embeddings: DataFrame, k: int = 5, n_lists: int = 16,
             .select("qid", "rank", "cid", "cos_sim"))
 
 
-def ivf_ann_topk_grid(embeddings: DataFrame, k: int = 5, n_lists: int = 8,
-                      n_probe: int = 2) -> DataFrame:
-    """Deterministic IVF variant: identical list/probe/rerank PLAN to
-    ``ivf_ann_topk`` but with the trained k-means quantizer replaced by a
-    fixed seeding — centroids are the ``n_lists`` lowest-vec_id vectors
-    (k-means seeding frozen at initialization).  Every stage is a codegen
-    expression (no UDF, no ML fit), so a SQL oracle can replay the exact
-    assignment; recall behaves like one k-means iteration's and degrades
-    to exact brute force at ``n_probe = n_lists``.
+def fit_ivf_centroids(X, n_lists: int, n_iters: int = 5, seed: int = 7):
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer: seeded
+    RNG init over the (sorted, bounded) fit block, fixed iteration count,
+    empty clusters keep their previous centroid.  Pure numpy — the same
+    function runs at Spark query time (over a bounded collected fit
+    block) and at oracle-build time (over the same rows read via
+    pyarrow), so both engines share bit-identical centroid constants."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n = len(X)
+    if n == 0:
+        return X.reshape(0, 0)
+    n_lists = max(1, min(n_lists, n))
+    rng = np.random.default_rng(seed)
+    # sort the sampled indices: centroid j is a deterministic function of
+    # the fit block alone, not of permutation order
+    C = X[np.sort(rng.permutation(n)[:n_lists])].copy()
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def _ivf_from_centroids(embeddings: DataFrame, cents: DataFrame, k: int,
+                        n_probe: int) -> DataFrame:
+    """Shared IVF assignment/probe/rerank plan over a small broadcast
+    centroid table (list_id, _cemb).
 
     Distances use the dot-product identity ``|a|^2 - 2a.b + |b|^2`` rounded
     to 6dp before the argmin (ties broken by list id), so engines whose
     float accumulation differs in the last bits still agree on the
     assignment."""
-    cents = (embeddings.orderBy("vec_id").limit(n_lists)
-             .select(F.col("vec_id").alias("list_id"),
-                     F.col("embedding").alias("_cemb")))
     sqd = F.round(
         _dot(F.col("embedding"), F.col("embedding"))
         - 2.0 * _dot(F.col("embedding"), F.col("_cemb"))
@@ -384,6 +404,47 @@ def ivf_ann_topk_grid(embeddings: DataFrame, k: int = 5, n_lists: int = 8,
     return (scored.withColumn("rank", F.row_number().over(wk))
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "cid", "cos_sim"))
+
+
+def ivf_ann_topk_grid(embeddings: DataFrame, k: int = 5, n_lists: int = 8,
+                      n_probe: int = 2) -> DataFrame:
+    """Deterministic IVF variant: identical list/probe/rerank PLAN to
+    ``ivf_ann_topk`` but with the trained k-means quantizer replaced by a
+    fixed seeding — centroids are the ``n_lists`` lowest-vec_id vectors
+    (k-means seeding frozen at initialization).  Every stage is a codegen
+    expression (no UDF, no ML fit), so a SQL oracle can replay the exact
+    assignment; recall behaves like one k-means iteration's and degrades
+    to exact brute force at ``n_probe = n_lists``."""
+    cents = (embeddings.orderBy("vec_id").limit(n_lists)
+             .select(F.col("vec_id").alias("list_id"),
+                     F.col("embedding").alias("_cemb")))
+    return _ivf_from_centroids(embeddings, cents, k, n_probe)
+
+
+def ivf_ann_topk_trained(embeddings: DataFrame, k: int = 5, n_lists: int = 8,
+                         n_probe: int = 2, n_iters: int = 5, seed: int = 7,
+                         max_fit: int = 100_000) -> DataFrame:
+    """Trained-quantizer IVF: Lloyd's k-means centroids from a BOUNDED
+    deterministic fit block (first ``max_fit`` vectors by vec_id — the
+    fit-on-a-sample production shape; the collect is bounded like
+    brute_force_cosine_topk's query block), then the shared broadcast
+    assignment/probe/rerank plan.  Unlike ``ivf_ann_topk`` (Spark ML
+    KMeans, whose treeAggregate accumulation order is
+    partitioning-dependent), the fit is bit-reproducible, so a SQL oracle
+    can replay the exact assignment from the same centroid constants."""
+    spark = embeddings.sparkSession
+    rows = (embeddings.orderBy("vec_id").limit(max_fit)
+            .select("embedding").collect())
+    if not rows:
+        return spark.createDataFrame(
+            [], "qid long, rank int, cid long, cos_sim double")
+    C = fit_ivf_centroids([list(r.embedding) for r in rows],
+                          n_lists, n_iters, seed)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+        "list_id long, _cemb array<double>")
+    return _ivf_from_centroids(embeddings, cents, k,
+                               max(1, min(n_probe, len(C))))
 
 
 def lsh_ann_topk(embeddings: DataFrame, k: int = 5, n_planes: int = 8,

@@ -200,3 +200,45 @@ def test_ivf_ann_recall_and_exact_degradation(spark):
            for r in ivf_ann_topk(e, k=3, n_lists=4, n_probe=1).collect()}
     hits = sum(1 for key, cid in exact.items() if ann.get(key) == cid)
     assert hits / len(exact) >= 0.9          # same-cluster neighbors found
+
+
+def test_ivf_trained_deterministic_and_recall(spark):
+    """Trained-quantizer IVF: the numpy Lloyd fit is bit-deterministic
+    (two runs produce identical result sets), n_probe=n_lists degrades to
+    exact brute force, and 1-probe recall is high on clusterable data."""
+    import random
+
+    import numpy as np
+
+    from aser_spark.textops import (brute_force_cosine_topk,
+                                    fit_ivf_centroids, ivf_ann_topk_trained)
+
+    rnd = random.Random(5)
+    rows = []
+    for c in range(4):
+        center = [10.0 * (1 if (c >> b) & 1 else -1) for b in range(6)]
+        for i in range(12):
+            rows.append((c * 12 + i,
+                         [v + rnd.uniform(-0.5, 0.5) for v in center]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    X = [r[1] for r in rows]
+    C1 = fit_ivf_centroids(X, 4, n_iters=5, seed=7)
+    C2 = fit_ivf_centroids(X, 4, n_iters=5, seed=7)
+    assert np.array_equal(C1, C2)            # bit-identical refits
+
+    exact = {(r.qid, r.rank): r.cid
+             for r in brute_force_cosine_topk(e, k=3, max_queries=48).collect()}
+    full = {(r.qid, r.rank): r.cid
+            for r in ivf_ann_topk_trained(e, k=3, n_lists=4, n_probe=4,
+                                          max_fit=48).collect()}
+    assert full == exact                     # n_probe = n_lists -> exact
+
+    runs = [sorted(tuple(r) for r in
+                   ivf_ann_topk_trained(e, k=3, n_lists=4, n_probe=1,
+                                        max_fit=48).collect())
+            for _ in range(2)]
+    assert runs[0] == runs[1]                # end-to-end deterministic
+    ann = {(q, rk): c for q, rk, c, _ in runs[0]}
+    hits = sum(1 for key, cid in exact.items() if ann.get(key) == cid)
+    assert hits / len(exact) >= 0.9          # trained lists find neighbors

@@ -633,6 +633,18 @@ def _q_media_features(spark, sf_dir):
     return extract_media_features(synthesize_media(spark, n=48)).drop("features")
 
 
+def _q_parse_coverage(spark, sf_dir):
+    """S7 coverage surface (pipeline/extract.py:parse_coverage): one row
+    per sentence of the corpus whether or not the grammar covers it —
+    out-of-grammar sentences degrade to a token/POS-only fallback row
+    instead of vanishing, making parser reach a measurable quantity."""
+    _ship_package(spark)
+    from aser_spark.datagen import transcripts_df
+    from aser_spark.pipeline.extract import parse_coverage
+
+    return parse_coverage(transcripts_df(spark, 400, seed=42))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_event_type_stats": _q_agg_event_type_stats,
@@ -684,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _q_pack_documents,
         "decontaminate_documents": _q_decontaminate_documents,
         "media_features": _q_media_features,
+        "parse_coverage": _q_parse_coverage,
     }
 
 
@@ -1042,6 +1055,11 @@ def _kg_oracle_sql() -> dict[str, str]:
         "media_features": f"""
             SELECT media_id, kind, payload_sha1, n_bytes
             FROM read_parquet('{p["media"]}')
+        """,
+        "parse_coverage": f"""
+            SELECT conv_id, turn_idx, sent_idx, n_tokens, pos_tags,
+                   n_eventualities, covered
+            FROM read_parquet('{p["parse_coverage"]}')
         """,
         "mention_coref_components": f"""
             WITH RECURSIVE inst AS (

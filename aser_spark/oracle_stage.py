@@ -27,7 +27,7 @@ from pathlib import Path
 
 STAGE_DIR = os.environ.get("ASER_ORACLE_STAGE_DIR", "/tmp/aser_spark_oracle")
 # bump when the staged layout or the generator/kernel semantics change
-STAGE_VERSION = 13  # r3: + concepts_exact heap-beam map
+STAGE_VERSION = 14  # r4: + parse_coverage table
 
 _INSTANCE_COLS = [
     ("kind", "string"), ("conv_id", "string"), ("turn_idx", "int32"),
@@ -95,6 +95,23 @@ def _concepts_exact_rows(instance_rows: list) -> list:
     return out
 
 
+def _coverage_rows(n_convs: int, seed: int) -> list:
+    """Per-sentence parse-coverage rows over the generated corpus — the
+    SAME pure turn_coverage_rows kernel the Spark mapInPandas operator
+    runs (pipeline/extract.py), including the token/POS-only fallback row
+    for out-of-grammar sentences."""
+    from .datagen.transcripts import gen_conversation_rows
+    from .pipeline.extract import _sentence_cache, turn_coverage_rows
+
+    memo = _sentence_cache("seed")
+    out = []
+    for ci in range(n_convs):
+        for r in gen_conversation_rows(seed, ci):
+            conv_id, turn_idx, text = r[0], r[1], r[3]
+            out.extend(turn_coverage_rows(conv_id, turn_idx, text, memo))
+    return out
+
+
 def _media_rows(n: int) -> list:
     """Expected output of textops.multimodal.extract_media_features over
     synthesize_media(n): the SAME pure-python payload generator the Spark
@@ -114,7 +131,7 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
     base.mkdir(parents=True, exist_ok=True)
     paths = {k: base / f"{k}.parquet"
              for k in ("instances", "instances_discourse", "probase", "kb",
-                       "media", "concepts_exact")}
+                       "media", "concepts_exact", "parse_coverage")}
     marker = base / "MARKER.json"
     want = {"version": STAGE_VERSION, "n_convs": n_convs, "seed": seed,
             "n_media": n_media}
@@ -143,6 +160,11 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
     _write_parquet(paths["kb"], kb_rows(),
                    [("alias", "string"), ("entity_id", "string"),
                     ("prior", "float64")])
+    _write_parquet(paths["parse_coverage"], _coverage_rows(n_convs, seed),
+                   [("conv_id", "string"), ("turn_idx", "int32"),
+                    ("sent_idx", "int32"), ("n_tokens", "int32"),
+                    ("pos_tags", "string"), ("n_eventualities", "int32"),
+                    ("covered", "bool_")])
     _write_parquet(paths["media"], _media_rows(n_media),
                    [("media_id", "int64"), ("kind", "string"),
                     ("payload_sha1", "string"), ("n_bytes", "int32")])

@@ -376,3 +376,51 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
     narrow = transcripts.select("conv_id", "turn_idx", "text")
     grouped = narrow if pre_grouped else _group_by_conv(narrow, num_partitions)
     return grouped.mapInPandas(run, schema=INSTANCE_SCHEMA)
+
+
+COVERAGE_SCHEMA = ("conv_id string, turn_idx int, sent_idx int, "
+                   "n_tokens int, pos_tags string, n_eventualities int, "
+                   "covered boolean")
+_COV_COLS = ["conv_id", "turn_idx", "sent_idx", "n_tokens", "pos_tags",
+             "n_eventualities", "covered"]
+
+
+def turn_coverage_rows(conv_id, turn_idx, text, memo=None):
+    """Pure per-turn parse-coverage kernel: EVERY sentence yields exactly
+    one row — covered sentences report how many eventualities the grammar
+    produced, out-of-grammar sentences degrade to a token/POS-only
+    fallback row (n_eventualities=0, covered=false) instead of vanishing.
+    This is the defined OOG behavior: the parser/kernel never raise on
+    arbitrary text, and the coverage table makes the grammar's reach over
+    a corpus measurable (fraction of covered sentences)."""
+    from ..nlp import split_sentences
+
+    if memo is None:
+        memo = _sentence_cache("seed")
+    rows = []
+    for sent_idx, sent in enumerate(split_sentences(text)):
+        p, evs = memo(sent)[:2]
+        rows.append((conv_id, int(turn_idx), sent_idx, len(p["tokens"]),
+                     " ".join(p["pos_tags"]), len(evs), bool(evs)))
+    return rows
+
+
+def parse_coverage(transcripts):
+    """Per-sentence grammar-coverage table over a transcript corpus:
+    (conv_id, turn_idx, sent_idx, n_tokens, pos_tags, n_eventualities,
+    covered).  Shuffle-free ``mapInPandas`` (rows are independent per
+    turn — no cross-sentence context is needed for seed-mode coverage),
+    memoized per worker like the extraction kernel.  The aggregate
+    coverage fraction is one map-side-combining AVG over the output."""
+    def run(batches):
+        _freeze_longlived()
+        memo = _sentence_cache("seed")
+        for pdf in batches:
+            out = []
+            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"],
+                                               pdf["text"]):
+                out.extend(turn_coverage_rows(conv_id, turn_idx, text, memo))
+            yield _frame(out, _COV_COLS)
+
+    return (transcripts.select("conv_id", "turn_idx", "text")
+            .mapInPandas(run, schema=COVERAGE_SCHEMA))

@@ -78,6 +78,12 @@ def main():
     n_conn = n_bad = 0
     fixtures = []
     docs = [hand]
+    # out-of-generator PDTB-vocabulary corpus: in-vocabulary features, so
+    # the frozen vectors exercise real model weights (gen_oog_corpus.py)
+    oog = REPO / "fixtures" / "oog_docs.jsonl"
+    if oog.exists():
+        with oog.open() as f:
+            docs.extend(json.loads(line)["doc_texts"] for line in f)
     for ci in range(n_convs):
         docs.append([r[3] for r in gen_conversation_rows(42, ci)])
     for texts in docs:

@@ -106,13 +106,23 @@ def main():
     print(f"vocab: {len(verbs)} verbs, {len(nouns)} nouns, "
           f"{len(single_conns)} connectives")
 
+    # round-trip-filtered inflection subsets for the r4 template families
+    ing_verbs = [v for v in verbs if fallback(v + "ing") == ("VBG", v)]
+    pl_nouns = [w for w in nouns if fallback(w + "s") == ("NNS", w)]
+
     rng = random.Random(20260816)
 
     def n():
         return f"the {rng.choice(nouns)}"
 
+    def vb():
+        return rng.choice(verbs)
+
     def vi():
-        return rng.choice(verbs) + "ed"
+        return vb() + "ed"
+
+    def ving():
+        return rng.choice(ing_verbs) + "ing"
 
     def clause():
         k = rng.randrange(6)
@@ -121,12 +131,66 @@ def main():
         if k == 1:
             return f"{n()} {vi()} {n()}"
         if k == 2:
-            return f"{n()} did not {rng.choice(verbs)}"
+            return f"{n()} did not {vb()}"
         if k == 3:
             return f"{n()} was {vi()} by {n()}"
         if k == 4:
             return f"{n()} said that {n()} {vi()}"
         return f"{n()} {vi()} {n()} in the {rng.choice(nouns)}"
+
+    # r4 breadth: constructions screened for parse support + e2e parity
+    # (modals, progressives, existentials, pronouns, plurals, datives,
+    # fronted PPs, infinitival complements, copulas, extraposition,
+    # VP coordination, gerund adjuncts, questions, imperatives, relatives)
+    def sentence():
+        k = rng.randrange(24)
+        if k == 0:
+            return f"{n()} could {vb()} {n()}."
+        if k == 1:
+            return f"{n()} should not {vb()}."
+        if k == 2:
+            return f"{n()} will {vb()} {n()}."
+        if k == 3:
+            return f"{n()} was {ving()} {n()}."
+        if k == 4:
+            return f"there was a {rng.choice(nouns)} in {n()}."
+        if k == 5:
+            return f"{rng.choice(['he', 'she'])} {vi()} {n()}."
+        if k == 6:
+            return f"{rng.choice(['they', 'we'])} {vi()} in {n()}."
+        if k == 7:
+            return f"the {rng.choice(pl_nouns)}s {vi()}."
+        if k == 8:
+            return f"{n()} handed {n()} to {n()}."
+        if k == 9:
+            return f"because of {n()} , {n()} {vi()}."
+        if k == 10:
+            return f"{n()} wanted to {vb()} {n()}."
+        if k == 11:
+            return f"{n()} tried to {vb()}."
+        if k == 12:
+            return f"{n()} was in {n()}."
+        if k == 13:
+            return f"{n()} was {rng.choice(['quiet', 'calm', 'angry', 'happy'])}."
+        if k == 14:
+            return f"it was clear that {n()} {vi()}."
+        if k == 15:
+            return f"it seems that {n()} {vi()} {n()}."
+        if k == 16:
+            return f"{n()} {vi()} {n()} quickly."
+        if k == 17:
+            return f"{n()} {vi()} {n()} and {vi()} {n()}."
+        if k == 18:
+            return f"{n()} said that {n()} must {vb()}."
+        if k == 19:
+            return f"while {ving()} , {n()} {vi()} {n()}."
+        if k == 20:
+            return f"after {n()} {vi()} , {n()} {vi()}."
+        if k == 21:
+            return f"why did {n()} {vb()} {n()} ?"
+        if k == 22:
+            return f"{n()} that {vi()} {n()} was quiet."   # no-ev (honest OOG)
+        return f"{vb()} {n()} now."                        # imperative, no-ev
 
     from aser_spark.kernel.discourse import CONNECTIVE_CATEGORIES
 
@@ -154,19 +218,27 @@ def main():
     for c in [x for x in conns if ".." in x]:
         a, b = c.split("..")[:2]
         docs.append([f"{a} {clause()} {b} {clause()}."])
-    # (d) random 2-3 sentence documents mixing shapes
-    for _ in range(200):
+    # (d) random 2-3 sentence documents mixing shapes, r4: breadth
+    # sentences join the mix so classifier contexts see the new
+    # constructions adjacent to connective-bearing sentences
+    for _ in range(420):
         n_sents = 2 + rng.randrange(2)
         doc = []
         for _ in range(n_sents):
             r = rng.random()
-            if r < 0.40:
+            if r < 0.35:
                 doc.append(f"{clause()} {rng.choice(medial_conns)} {clause()}.")
-            elif r < 0.65:
+            elif r < 0.55:
                 doc.append(f"{rng.choice(single_conns)} {clause()} , {clause()}.")
+            elif r < 0.80:
+                doc.append(sentence())
             else:
                 doc.append(f"{clause()}.")
         docs.append(doc)
+    # (e) every breadth construction repeatedly as a standalone document
+    for _ in range(12):
+        for _k in range(24):
+            docs.append([sentence()])
 
     n_sents = sum(len(d) for d in docs)
     print(f"{len(docs)} docs, {n_sents} sentences")
@@ -177,7 +249,7 @@ def main():
     from aser_spark.nlp.syntax import SyntaxTree
 
     total = with_ev = 0
-    for doc in docs[:200]:
+    for doc in docs:
         parsed = []
         for t in doc:
             parsed.extend(parse_text(t))
@@ -185,8 +257,8 @@ def main():
         for evs in extract_document_eventualities_discourse(parsed, trees):
             total += 1
             with_ev += bool(evs)
-    print(f"parse coverage (first 200 docs): {with_ev}/{total} sentences "
-          f"produce eventualities")
+    print(f"parse coverage (full corpus): {with_ev}/{total} sentences "
+          f"({with_ev / max(total, 1):.3f}) produce eventualities")
 
     out = REPO / "fixtures" / "oog_docs.jsonl"
     with out.open("w") as f:

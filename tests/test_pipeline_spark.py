@@ -194,6 +194,50 @@ def test_checkpoint_mode_mismatch_fails_fast(spark, transcripts, tmp_path):
                                     n_parts=4, mode="discourse")
 
 
+def test_parse_coverage_fallback_rows():
+    """Out-of-grammar / degenerate sentences must NEVER crash and must
+    degrade to a token/POS-only fallback row (covered=false) instead of
+    vanishing — the defined S7 OOG behavior."""
+    from aser_spark.pipeline.extract import turn_coverage_rows
+
+    probes = ["", "   ", "???", "\U0001f916\U0001f916", "asdf qwerty zxcv",
+              "click here http://example.com/x?y=1 for more",
+              "word " * 200, "a", "DON'T PANIC",
+              "the dog barked because the cat slept."]
+    rows = []
+    for text in probes:
+        rows.extend(turn_coverage_rows("c0", 0, text))
+    # every non-empty probe produced at least one row, none raised
+    assert len(rows) >= len(probes) - 2
+    fallback = [r for r in rows if not r[6]]
+    covered = [r for r in rows if r[6]]
+    assert fallback, "degenerate probes should yield uncovered rows"
+    assert covered, "the grammatical probe should be covered"
+    for r in fallback:
+        assert r[5] == 0                       # n_eventualities
+        assert len(r[4].split()) == r[3] or r[3] == 0   # POS per token
+
+
+def test_parse_coverage_spark_matches_kernel(spark, transcripts):
+    """The Spark parse_coverage operator equals the pure per-turn kernel
+    row-for-row, and the corpus coverage fraction is computable as one
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    from aser_spark.pipeline.extract import parse_coverage, turn_coverage_rows
+
+    t = transcripts.limit(40)
+    got = sorted(tuple(r) for r in parse_coverage(t).collect())
+    want = []
+    for r in t.select("conv_id", "turn_idx", "text").collect():
+        want.extend(turn_coverage_rows(r.conv_id, r.turn_idx, r.text))
+    assert got == sorted(want)
+    cov = (parse_coverage(t)
+           .agg(F.avg(F.col("covered").cast("double")).alias("c"))
+           .collect()[0].c)
+    assert 0.0 < cov <= 1.0
+
+
 def test_checkpoint_legacy_unrecorded_mode_refuses(spark, transcripts,
                                                    tmp_path):
     """A pre-mode-column workdir (committed rows with NULL mode) must

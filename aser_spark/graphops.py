@@ -19,6 +19,8 @@ textops/dedup.py:near_dup_groups for the pattern).
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -62,7 +64,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 def connected_components_star(edges: DataFrame, src: str = "src",
                               dst: str = "dst",
-                              max_iter: int = 50) -> DataFrame:
+                              max_iter: int = 50,
+                              round_stats: list | None = None) -> DataFrame:
     """(node, component) for every edge endpoint; component = the minimal
     node of its connected component.
 
@@ -90,10 +93,16 @@ def connected_components_star(edges: DataFrame, src: str = "src",
 
     sig = _sig(cur)
     converged = False
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
+        t0 = time.time()
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         new_sig = _sig(nxt)
         cur = nxt
+        if round_stats is not None:
+            # (round, n_edges after the pass, wall seconds) — scale
+            # evidence for the O(log^2 n) round bound (BENCH/NOTES.md)
+            round_stats.append((rnd + 1, new_sig[0],
+                                round(time.time() - t0, 3)))
         if new_sig == sig:
             converged = True
             break

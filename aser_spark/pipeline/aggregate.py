@@ -72,21 +72,44 @@ def aggregate_edges(rel_instances: DataFrame) -> DataFrame:
     )
 
 
-def build_lineage(ev_instances: DataFrame, n_salts: int = DEFAULT_SALTS) -> DataFrame:
+def build_lineage(ev_instances: DataFrame, n_salts: int = DEFAULT_SALTS,
+                  max_sids: int | None = None) -> DataFrame:
     """S6 inverted index: eid -> sentence ids, via SALTED two-phase
     collect (collect_list has no map-side combine; a hot eid would funnel
-    every occurrence through one reducer otherwise)."""
+    every occurrence through one reducer otherwise).
+
+    ``max_sids``: bounded-lineage mode for Zipf-headed corpora — keep the
+    deterministic min-``max_sids`` sids per eid (ascending sid order)
+    while ``n_mentions`` stays EXACT via the summed counts.  This is the
+    shape that survives a 10^12-frequency head eventuality: an UNBOUNDED
+    per-key array must materialize every occurrence in one final task no
+    matter how the first phase is salted (measured in
+    scripts/scale_evidence.py skew), whereas the capped final merge is
+    O(n_salts * max_sids) per key regardless of skew.  Full provenance
+    stays queryable as the flat (eid, sid) relation itself — an array
+    column is the wrong representation for it at head-key scale."""
     sid = F.concat_ws("|", "conv_id", "turn_idx", "sent_idx").alias("sid")
     salted = ev_instances.select(
         "eid", sid,
         F.pmod(F.xxhash64("conv_id"), F.lit(n_salts)).alias("_salt"),
     )
+    if max_sids is None:
+        partial = salted.groupBy("eid", "_salt").agg(
+            F.collect_set("sid").alias("sids"),
+            F.count("*").alias("n"),
+        )
+        return partial.groupBy("eid").agg(
+            F.array_distinct(F.flatten(F.collect_list("sids"))).alias("sids"),
+            F.sum("n").alias("n_mentions"),
+        )
+    k = int(max_sids)
     partial = salted.groupBy("eid", "_salt").agg(
-        F.collect_set("sid").alias("sids"),
+        F.slice(F.sort_array(F.collect_set("sid")), 1, k).alias("sids"),
         F.count("*").alias("n"),
     )
     return partial.groupBy("eid").agg(
-        F.array_distinct(F.flatten(F.collect_list("sids"))).alias("sids"),
+        F.slice(F.sort_array(F.array_distinct(
+            F.flatten(F.collect_list("sids")))), 1, k).alias("sids"),
         F.sum("n").alias("n_mentions"),
     )
 

@@ -194,6 +194,63 @@ def test_checkpoint_mode_mismatch_fails_fast(spark, transcripts, tmp_path):
                                     n_parts=4, mode="discourse")
 
 
+def test_lineage_capped_matches_full_prefix(spark, transcripts):
+    """Bounded-lineage mode: per eid, sids == the min-K prefix of the
+    FULL lineage's sorted sid set, and n_mentions stays exact — the
+    head-key-safe representation (scripts/scale_evidence.py skew)."""
+    from aser_spark.pipeline import extract_graph_instances
+    from aser_spark.pipeline.aggregate import (build_lineage,
+                                               nodes_from_instances)
+
+    inst = nodes_from_instances(
+        extract_graph_instances(transcripts.limit(120)))
+    full = {r.eid: (sorted(r.sids), r.n_mentions)
+            for r in build_lineage(inst).collect()}
+    k = 2
+    capped = {r.eid: (list(r.sids), r.n_mentions)
+              for r in build_lineage(inst, max_sids=k).collect()}
+    assert set(full) == set(capped)
+    for eid, (sids, n) in full.items():
+        assert capped[eid] == (sids[:k], n)
+
+
+def test_export_driver_memory_bounded(spark, tmp_path):
+    """The SQLite export must stream (toLocalIterator): python-side peak
+    allocation while exporting a multi-partition KG stays far below the
+    table's materialized size — the 'bandwidth-bound, never memory-bound'
+    property of the serving cut."""
+    import tracemalloc
+
+    from pyspark.sql import functions as F
+
+    from aser_spark.serving_sqlite import export_kg_to_sqlite
+
+    n = 120_000
+    nodes = (spark.range(n).select(
+        F.concat(F.lit("e"), "id").alias("eid"),
+        F.lit("s-v-o").alias("pattern"),
+        F.concat(F.lit("w w w w w w w w "), "id").alias("words"),
+        F.lit("PRP VB NN").alias("pos_tags"),
+        F.lit("w w").alias("skeleton_words"), F.lit("w").alias("verbs"),
+        F.lit(1.0).alias("frequency")).repartition(16))
+    edges = (spark.range(200).select(
+        F.concat(F.lit("e"), "id").alias("hid"),
+        F.concat(F.lit("e"), F.col("id") + 1).alias("tid"),
+        F.lit("Precedence").alias("sense"), F.lit(1.0).alias("weight"))
+        .withColumn("rid", F.concat(F.lit("r"), "hid"))
+        .select("rid", "hid", "tid", "sense", "weight"))
+    db = str(tmp_path / "big.db")
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    stats = export_kg_to_sqlite(nodes, edges, db)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert stats["n_eventualities"] == n
+    # ~120k rows x ~100B > 12 MB materialized; streaming peak must stay
+    # bounded by a partition, not the table (empirically ~6 MB here)
+    assert peak < 48 * 1024 * 1024, f"export peak {peak/1e6:.1f} MB"
+
+
 def test_parse_coverage_fallback_rows():
     """Out-of-grammar / degenerate sentences must NEVER crash and must
     degrade to a token/POS-only fallback row (covered=false) instead of

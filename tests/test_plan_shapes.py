@@ -184,3 +184,15 @@ def test_pack_documents_prefix_sum_not_global_window(spark):
     # shard, ordered by doc_id.  A regression to an unpartitioned global
     # window would render windowspecdefinition(doc_id#M ASC ...) instead.
     assert re.search(r"windowspecdefinition\(_shard#\d+L?, doc_id#\d+", plan)
+
+
+def test_parse_coverage_shuffle_free(spark):
+    """parse_coverage is one narrow projection + one mapInPandas — no
+    exchange anywhere: per-turn rows are independent, so at 100 TB the
+    coverage sweep is a pure scan-shaped pass."""
+    from aser_spark.datagen import transcripts_df
+    from aser_spark.pipeline.extract import parse_coverage
+
+    plan = _plan(parse_coverage(transcripts_df(spark, 50, seed=42)), "simple")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan

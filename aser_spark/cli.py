@@ -34,7 +34,34 @@ def main(argv=None):
     s = sub.add_parser("stats", help="KG table statistics")
     s.add_argument("--workdir", required=True)
 
+    e = sub.add_parser("export-sqlite",
+                       help="workdir KG tables -> reference-schema KG.db")
+    e.add_argument("--workdir", required=True)
+    e.add_argument("--db", required=True)
+
+    v = sub.add_parser("serve", help="request/reply daemon over a KG.db "
+                       "(the reference aser-server loop; serving_net.py)")
+    v.add_argument("--db", default=None, help="KG.db path (lookups)")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8000)
+    v.add_argument("--mode", choices=("seed", "discourse"), default="seed")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        # no Spark session: serving is kernel + SQLite only
+        from .serving_net import ASERServingServer
+
+        srv = ASERServingServer(db_path=args.db, mode=args.mode,
+                                host=args.host, port=args.port)
+        host, port = srv.address
+        print(json.dumps({"serving": f"{host}:{port}", "db": args.db}),
+              flush=True)
+        try:
+            srv._server.serve_forever()
+        except KeyboardInterrupt:
+            srv.stop()
+        return
 
     from pyspark.sql import SparkSession
 
@@ -61,6 +88,13 @@ def main(argv=None):
             from .store import KGStore
 
             print(json.dumps(KGStore(spark, args.workdir).stats()))
+        elif args.cmd == "export-sqlite":
+            from .serving_sqlite import export_kg_to_sqlite
+            from .store import KGStore
+
+            store = KGStore(spark, args.workdir)
+            stats = export_kg_to_sqlite(store.nodes, store.edges, args.db)
+            print(json.dumps({"db": args.db, **stats}))
     finally:
         if not preexisting:  # don't tear down a caller-owned session
             spark.stop()

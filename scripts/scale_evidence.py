@@ -131,8 +131,8 @@ def bench_cc():
     from aser_spark.graphops import connected_components_star
 
     spark = get_spark(app="cc-evidence", cpus=4, shuffle_partitions=16)
-    chain_n = 5_000_000
-    n_cliques, clique_k = 1_000, 100
+    chain_n = 1_000_000
+    n_cliques, clique_k = 400, 100
     chain = spark.range(chain_n - 1).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
     members = spark.range(n_cliques * clique_k).select(

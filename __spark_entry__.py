@@ -66,6 +66,16 @@ _KG_CACHE: dict = {}
 def _kg(spark: SparkSession, n_convs: int = 400, mode: str = "seed"):
     key = (id(spark), n_convs, mode)
     if key not in _KG_CACHE:
+        # bounded: evict (and unpersist) the oldest KG when a 5th distinct
+        # (session, corpus, mode) shows up — the driver harness only ever
+        # uses 3, but a long-lived session must not accumulate caches
+        while len(_KG_CACHE) >= 4:
+            old = _KG_CACHE.pop(next(iter(_KG_CACHE)))
+            for df in ("instances", "nodes", "edges"):
+                try:
+                    old[df].unpersist()
+                except Exception:
+                    pass
         _ship_package(spark)
         from aser_spark.datagen import transcripts_df
         from aser_spark.pipeline import build_knowledge_graph, extract_graph_instances

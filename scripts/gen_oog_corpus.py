@@ -239,6 +239,34 @@ def main():
     for _ in range(12):
         for _k in range(24):
             docs.append([sentence()])
+    # (f) curated REAL-ENGLISH documents: the reference's own docstring
+    # examples (aser_extractor.py:728-738, eventuality_extractor.py:184-193)
+    # plus natural constructions with contractions, possessives, and
+    # adverbial sentence openers — none built from templates
+    docs.extend([[s] if isinstance(s, str) else s for s in [
+        ["My army will find your boat. In the meantime, I'm sure we could "
+         "find you suitable accommodations."],
+        ["I am hungry.", "I am in the kitchen."],
+        ["The dog barks loudly.", "He doesn't like the rain."],
+        ["It's cold outside, so she wears a coat."],
+        ["They can't find the keys because the drawer is locked."],
+        ["We will win. However, the match won't be easy."],
+        ["She didn't answer the phone.", "As a result, he left a message."],
+        ["I'm sure the plan works.", "For example, the tests passed."],
+        ["You shouldn't open the window when the storm comes."],
+        ["He is tired, but he keeps walking."],
+        ["The teacher explained the lesson.",
+         "On the other hand, the students looked confused."],
+        ["We couldn't sleep because the neighbors played music."],
+        ["It isn't easy, although everyone tries."],
+        ["I won't forget what you said."],
+        ["The engine stopped. Meanwhile, the driver stayed calm."],
+        ["She wasn't happy until the results arrived."],
+        ["Don't touch the stove when it's hot."],
+        ["The team didn't give up even though the score was bad."],
+        ["He's the manager, and she's the engineer."],
+        ["If you don't hurry, we'll miss the train."],
+    ]])
 
     n_sents = sum(len(d) for d in docs)
     print(f"{len(docs)} docs, {n_sents} sentences")

@@ -196,3 +196,16 @@ def test_parse_coverage_shuffle_free(spark):
     plan = _plan(parse_coverage(transcripts_df(spark, 50, seed=42)), "simple")
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_ivf_trained_broadcasts_centroids_no_cartesian(spark):
+    """The trained-quantizer IVF shares the grid variant's plan shape:
+    broadcast nested loop against the tiny centroid table only, never an
+    N x N cartesian."""
+    from aser_spark.textops import ivf_ann_topk_trained
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(ivf_ann_topk_trained(emb, k=2, n_lists=4, n_probe=2,
+                                      max_fit=64), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

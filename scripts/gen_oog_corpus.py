@@ -235,10 +235,57 @@ def main():
             else:
                 doc.append(f"{clause()}.")
         docs.append(doc)
+    # r4b: a second screened pool — numerals, times, comparatives,
+    # correlative pairs, quotes, punctuation-heavy shapes
+    def sentence2():
+        k = rng.randrange(18)
+        if k == 0:
+            return f"{n()} counted {10 + rng.randrange(90)} {rng.choice(pl_nouns)}s."
+        if k == 1:
+            return f"the meeting started at {1 + rng.randrange(11)} pm."
+        if k == 2:
+            return (f"{n()} arrived on "
+                    f"{rng.choice(['monday', 'friday', 'sunday'])}.")
+        if k == 3:
+            return f"{n()} was better than {n()}."
+        if k == 4:
+            return f"{n()} was the best {rng.choice(nouns)}."
+        if k == 5:
+            return f"{n()} was quiet and calm."
+        if k == 6:
+            return f"not only {n()} {vi()} but also {n()} {vi()}."
+        if k == 7:
+            return f'"{vb()} now," he said.'
+        if k == 8:
+            return f"neither {n()} nor {n()} {vi()}."
+        if k == 9:
+            return f"both {n()} and {n()} {vi()}."
+        if k == 10:
+            return f"{n()} was as quiet as {n()}."
+        if k == 11:
+            return f"{n()} was too quiet to {vb()}."
+        if k == 12:
+            return f"prices rose {1 + rng.randrange(20)} percent."
+        if k == 13:
+            return f"{n()} cost {2 + rng.randrange(98)} dollars."  # no-ev
+        if k == 14:
+            return f"{n()} finished the first {rng.choice(nouns)}."
+        if k == 15:
+            return f"{n()} ( the old one ) {vi()}."
+        if k == 16:
+            return f"{n()} {vi()} ; {n()} {vi()}."
+        return f"{n()} needed one thing : the {rng.choice(nouns)}."  # no-ev
+
     # (e) every breadth construction repeatedly as a standalone document
     for _ in range(12):
         for _k in range(24):
             docs.append([sentence()])
+    # (e2) the second pool, standalone and in 2-sentence mixes
+    for _ in range(10):
+        for _k in range(18):
+            docs.append([sentence2()])
+    for _ in range(100):
+        docs.append([sentence2(), rng.choice([sentence(), f"{clause()}."])])
     # (f) curated REAL-ENGLISH documents: the reference's own docstring
     # examples (aser_extractor.py:728-738, eventuality_extractor.py:184-193)
     # plus natural constructions with contractions, possessives, and

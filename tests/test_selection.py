@@ -75,3 +75,28 @@ def test_pack_documents_matches_serial_packing(spark):
     alt = {r["doc_id"]: (r["n_tokens"], r["seq_id"], r["seq_offset"])
            for r in pack_documents(df, seq_len=64, shard_size=7).collect()}
     assert alt == got
+
+
+def test_pack_documents_exact_past_double_precision(spark):
+    """Integral `div` arithmetic: doc_ids beyond 2^53 (where a double
+    round-trips inexactly) must still shard and pack exactly — the
+    100 TB invariant the ADVICE review flagged."""
+    from pyspark.sql import functions as F
+
+    from aser_spark.textops import pack_documents
+
+    base = (1 << 53) + 7        # not representable gaps start at 2^53
+    rows = [(base + i, "w " * (i + 1)) for i in range(6)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset)
+           for r in pack_documents(d, seq_len=4, shard_size=2).collect()}
+    start = 0
+    for doc_id, text in rows:
+        n = len(text.split())
+        assert got[doc_id] == (n, start // 4, start % 4), doc_id
+        start += n
+    # shard assignment itself must be exact: consecutive giant ids land
+    # in the integer-correct shard (doc_id div 2), which a double cast
+    # gets wrong for odd ids past 2^53
+    shards = (d.select(F.expr("doc_id div 2").alias("s")).distinct().count())
+    assert shards == 4  # ids base..base+5 with base odd span 4 shards

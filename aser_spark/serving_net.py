@@ -42,11 +42,17 @@ ERROR = "__ASERERROR__"    # reference error sentinel (utils/config.py:19)
 
 
 def _jsonable(obj):
-    """Deep-convert kernel records (tuples, sets) to JSON-safe values."""
+    """Deep-convert kernel records (tuples, sets) to JSON-safe values.
+    Bytes decode as UTF-8 text: a reference-schema KG.db stores the info
+    column as BLOB (kg_connection.py EVENTUALITY_COLUMN_TYPES), and the
+    payload is JSON text, so lookup rows served from a reference-produced
+    DB must round-trip through json.dumps."""
     if isinstance(obj, dict):
         return {str(k): _jsonable(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple, set)):
         return [_jsonable(v) for v in obj]
+    if isinstance(obj, (bytes, bytearray)):
+        return bytes(obj).decode("utf-8", "replace")
     if isinstance(obj, (str, int, float, bool)) or obj is None:
         return obj
     return str(obj)
@@ -154,11 +160,11 @@ class ASERServingServer:
                 return getattr(ops, cmd)(arg)
             if cmd == "exact_match_eventuality":
                 row = kg() and kg().get_exact_match_eventuality(arg)
-                return row or NONE
+                return _jsonable(row) if row else NONE
             if cmd == "exact_match_eventuality_relation":
                 row = kg() and kg().get_exact_match_relation(
                     arg["hid"], arg["tid"])
-                return row or NONE
+                return _jsonable(row) if row else NONE
             if cmd == "fetch_related_eventualities":
                 if kg() is None:
                     return []
@@ -166,31 +172,52 @@ class ASERServingServer:
             if cmd == "exact_match_concept":
                 c = outer.concepts.get("concepts", {})
                 byw = outer.concepts.get("by_words", {})
-                return c.get(arg) or c.get(byw.get(arg)) or NONE
+                return _jsonable(c.get(arg) or c.get(byw.get(arg)) or NONE)
             if cmd == "exact_match_concept_relation":
-                return outer.concepts.get("relations", {}).get(
-                    f"{arg['hid']}${arg['tid']}") or NONE
+                return _jsonable(outer.concepts.get("relations", {}).get(
+                    f"{arg['hid']}${arg['tid']}") or NONE)
             if cmd == "fetch_related_concepts":
-                return outer.concepts.get("related", {}).get(arg, [])
+                return _jsonable(outer.concepts.get("related", {}).get(arg, []))
             raise ValueError(f"unknown cmd {cmd!r}")
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
-                for line in self.rfile:
-                    if not line.strip():
-                        continue
-                    req = json.loads(line)
-                    try:
-                        resp = {"id": req.get("id"), "ok": True,
-                                "data": dispatch(req["cmd"],
-                                                 req.get("arg"))}
-                    except Exception as ex:  # reference returns ASERError
-                        resp = {"id": req.get("id"), "ok": False,
-                                "data": ERROR,
-                                "error": f"{type(ex).__name__}: {ex}"}
-                    self.wfile.write(
-                        (json.dumps(resp) + "\n").encode("utf-8"))
-                    self.wfile.flush()
+                # the WHOLE per-line body (parse + dispatch + dumps) sits
+                # inside the error-response path: a malformed request line
+                # or an unserializable lookup payload must produce an
+                # error reply, never a dead handler thread with the client
+                # blocked on its timeout
+                try:
+                    for line in self.rfile:
+                        if not line.strip():
+                            continue
+                        req = {}
+                        try:
+                            req = json.loads(line)
+                            if not isinstance(req, dict):
+                                raise TypeError(
+                                    f"request must be a JSON object, got "
+                                    f"{type(req).__name__}")
+                            resp = {"id": req.get("id"), "ok": True,
+                                    "data": dispatch(req["cmd"],
+                                                     req.get("arg"))}
+                            payload = json.dumps(resp)
+                        except Exception as ex:  # reference returns ASERError
+                            rid = req.get("id") if isinstance(req, dict) else None
+                            payload = json.dumps(
+                                {"id": rid, "ok": False, "data": ERROR,
+                                 "error": f"{type(ex).__name__}: {ex}"})
+                        self.wfile.write((payload + "\n").encode("utf-8"))
+                        self.wfile.flush()
+                finally:
+                    # one sqlite connection per handler thread: close it
+                    # when this client's read loop ends (daemon threads
+                    # never run finalizers, so a long-lived server would
+                    # otherwise leak one open connection per past client)
+                    k = getattr(local, "kg", None)
+                    if k is not None:
+                        local.kg = None
+                        k.close()
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True

@@ -40,10 +40,15 @@ def normalize(v):
     if isinstance(v, (int, np.integer)):
         return f"i:{int(v)}"
     if isinstance(v, Decimal):
-        s = str(v)
+        # format(v, 'f') expands scientific notation (Decimal('1E+2') ->
+        # '100'), so equal Decimals share one canonical text regardless of
+        # exponent form
+        s = format(v, "f")
         if "." in s:
             s = s.rstrip("0").rstrip(".")
-        return f"d:{s or '0'}"
+        if s in ("", "-0"):
+            s = "0"
+        return f"d:{s}"
     if isinstance(v, (bytes, bytearray)):
         return f"y:{bytes(v).hex()}"
     if isinstance(v, np.ndarray):
@@ -71,8 +76,13 @@ def row_key(row, col_order):
 
 
 def main():
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-dependent oracle constants (trained-IVF centroids) must be
+    # derived from the sf being checked, not a hardcoded default
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import duckdb
 

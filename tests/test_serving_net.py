@@ -123,3 +123,46 @@ def test_concurrent_clients_and_errors(spark, tmp_path):
             except RuntimeError:
                 pass
             assert cli.exact_match_eventuality("e1")["_id"] == "e1"
+
+
+def test_malformed_lines_and_blob_info_get_replies(spark, tmp_path):
+    """A reference-schema KG.db stores info as BLOB and a client may send
+    garbage: both must yield an in-band reply (never a dead handler thread
+    leaving the client blocked until timeout)."""
+    import socket
+    import sqlite3
+
+    from aser_spark.serving_net import ASERServingClient
+    from aser_spark.serving_sqlite import export_kg_to_sqlite
+
+    nodes, edges = _toy_kg(spark)
+    db = str(tmp_path / "kg.db")
+    export_kg_to_sqlite(nodes, edges, db)
+    # store info the way the reference schema types it: a BLOB of JSON text
+    with sqlite3.connect(db) as con:
+        con.execute("UPDATE Eventualities SET info = CAST(info AS BLOB)")
+        con.commit()
+
+    with _server(db) as srv:
+        host, port = srv.address
+        with ASERServingClient(host, port) as cli:
+            ev = cli.exact_match_eventuality("e2")
+            assert json.loads(ev["info"]) == {"pos_tags": "PRP VB NN"}
+            rel, tail = cli.fetch_related_eventualities("e1")[0]
+            assert isinstance(tail["info"], str)
+
+        # raw socket: malformed JSON, then a non-object line, then a valid
+        # request — each gets exactly one newline-delimited reply
+        with socket.create_connection((host, port), timeout=10) as s:
+            f = s.makefile("rb")
+            s.sendall(b"{not json\n")
+            bad = json.loads(f.readline())
+            assert bad["ok"] is False and "error" in bad
+            s.sendall(b"[1, 2, 3]\n")
+            bad2 = json.loads(f.readline())
+            assert bad2["ok"] is False
+            s.sendall(json.dumps(
+                {"id": 9, "cmd": "exact_match_eventuality",
+                 "arg": "e1"}).encode() + b"\n")
+            good = json.loads(f.readline())
+            assert good["ok"] is True and good["data"]["_id"] == "e1"

@@ -384,7 +384,13 @@ def _q_kg_top_related(spark, sf_dir):
 
 
 def _q_kg_lineage(spark, sf_dir):
-    return _kg(spark)["lineage"].select("eid", "n_mentions")
+    """S6 inverted lineage index, BOUNDED mode (the flagship default,
+    pipeline/graph.py): per eid the deterministic min-64 sids (sorted
+    ascending, emitted as a joined string so the oracle hash-compares a
+    scalar) with n_mentions kept exact."""
+    return _kg(spark)["lineage"].select(
+        "eid", "n_mentions",
+        F.concat_ws(",", "sids").alias("sids_prefix"))
 
 
 def _q_kg_edges_wide(spark, sf_dir):
@@ -973,7 +979,12 @@ def _kg_oracle_sql() -> dict[str, str]:
             FROM r JOIN n ON n.eid = r.tid
         """,
         "kg_lineage": f"""
-            SELECT eid, COUNT(*) AS n_mentions
+            SELECT eid, COUNT(*) AS n_mentions,
+                   array_to_string(
+                     list_sort(list_distinct(list(
+                       conv_id || '|' || CAST(turn_idx AS VARCHAR)
+                               || '|' || CAST(sent_idx AS VARCHAR))))[1:64],
+                     ',') AS sids_prefix
             FROM read_parquet('{p["instances"]}')
             WHERE kind = 'node' GROUP BY eid
         """,

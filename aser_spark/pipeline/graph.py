@@ -15,11 +15,24 @@ EVENTUALITY_FREQ_THRESHOLD = 2.0
 RELATION_WEIGHT_THRESHOLD = 0.0
 
 
-def build_knowledge_graph(instances: DataFrame):
-    """instances -> (nodes, edges, lineage) DataFrames (full KG)."""
+DEFAULT_MAX_LINEAGE_SIDS = 64
+
+
+def build_knowledge_graph(instances: DataFrame,
+                          max_sids: int | None = DEFAULT_MAX_LINEAGE_SIDS):
+    """instances -> (nodes, edges, lineage) DataFrames (full KG).
+
+    Lineage is BOUNDED by default (min-``max_sids`` sids per eid,
+    ``n_mentions`` exact): an unbounded per-eid sid array is the wrong
+    representation for a Zipf head key — at 10^12 mentions the array
+    itself is the reducer OOM, however the first phase is salted.  Full
+    provenance remains queryable as the flat (eid, sid) instance relation;
+    pass ``max_sids=None`` for the unbounded array when the corpus is
+    known to be small."""
     ev = nodes_from_instances(instances)
     rel = edges_from_instances(instances)
-    return aggregate_nodes(ev), aggregate_edges(rel), build_lineage(ev)
+    return (aggregate_nodes(ev), aggregate_edges(rel),
+            build_lineage(ev, max_sids=max_sids))
 
 
 def build_core_kg(nodes: DataFrame, edges: DataFrame,

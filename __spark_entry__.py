@@ -665,6 +665,22 @@ def _q_parse_coverage(spark, sf_dir):
     return parse_coverage(transcripts_df(spark, 400, seed=42))
 
 
+def _q_parse_coverage_heldout(spark, sf_dir):
+    """r5 held-out coverage surface: the same parse_coverage operator over
+    fixtures/heldout_prose.jsonl — 110 hand-composed prose paragraphs
+    frozen and committed BEFORE the first measurement (unscreened by
+    construction; scripts/gen_heldout_corpus.py).  Oracled against a
+    pure-Python staging of the identical kernel, so the held-out coverage
+    number the grammar claims is driver-checked."""
+    _ship_package(spark)
+    from aser_spark.oracle_stage import heldout_paragraph_rows
+    from aser_spark.pipeline.extract import parse_coverage
+
+    df = spark.createDataFrame(heldout_paragraph_rows(),
+                               "conv_id string, turn_idx int, text string")
+    return parse_coverage(df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_event_type_stats": _q_agg_event_type_stats,
@@ -717,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": _q_decontaminate_documents,
         "media_features": _q_media_features,
         "parse_coverage": _q_parse_coverage,
+        "parse_coverage_heldout": _q_parse_coverage_heldout,
     }
 
 
@@ -1097,6 +1114,11 @@ def _kg_oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, sent_idx, n_tokens, pos_tags,
                    n_eventualities, covered
             FROM read_parquet('{p["parse_coverage"]}')
+        """,
+        "parse_coverage_heldout": f"""
+            SELECT conv_id, turn_idx, sent_idx, n_tokens, pos_tags,
+                   n_eventualities, covered
+            FROM read_parquet('{p["parse_coverage_heldout"]}')
         """,
         "mention_coref_components": f"""
             WITH RECURSIVE inst AS (

@@ -29,6 +29,12 @@ _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
 _TOKEN = re.compile(r"[A-Za-z']+(?:-[A-Za-z']+)*|\d+(?:\.\d+)?|[.,!?;:]")
 
 _NOUNISH = ("NN", "NNS", "NNP", "NNPS")
+_PARTICLES = frozenset(("out", "off", "up", "down", "away", "over", "around"))
+_TEMPORAL_NOUNS = frozenset((
+    "morning", "afternoon", "evening", "night", "week", "year", "month",
+    "day", "weekend", "hour", "minute", "summer", "winter", "spring",
+    "autumn", "season",
+))
 _NP_INNER = ("DT", "PRP$", "JJ", "CD", "NN", "NNS", "NNP")
 _BE_TAGS = ("VB", "VBP", "VBZ", "VBD", "VBN", "VBG")
 
@@ -113,23 +119,47 @@ def _retag(tokens, tags, lemmas):
                 tags[i], lemmas[i] = "PRP", "she"
         elif w == "that":
             nxt = tags[i + 1] if i + 1 < n else "."
-            if nxt.startswith("VB") or nxt == "MD":  # demonstrative subject
+            # demonstrative: subject position ("that is...") or determiner
+            # directly before a bare noun ("that sound", "that morning")
+            if nxt.startswith("VB") or nxt == "MD" or nxt in ("NN", "NNS", "JJ"):
                 tags[i], lemmas[i] = "DT", "that"
-        elif tags[i] == "VBD":
+        elif tags[i] in ("VBD", "VBN", "VBG"):
             # VBD immediately after a be/have auxiliary (skipping adverbs)
             # reads as a participle — lexicon ambi-forms AND out-of-
             # vocabulary regular "-ed" verbs alike ("the wall was chalked")
             j = i - 1
             while j >= 0 and tags[j] == "RB":
                 j -= 1
-            if j >= 0 and lemmas[j] in ("be", "have") and tags[j].startswith("VB"):
+            if tags[i] == "VBD" and j >= 0 and lemmas[j] in ("be", "have") \
+                    and tags[j].startswith("VB"):
                 tags[i] = "VBN"
-        elif tags[i] in ("VB", "VBP") and i > 0 and tags[i - 1] in (
-            "DT", "PRP$", "JJ", "CD"
-        ):
-            # noun/verb-ambiguous word inside an NP chunk ("the test",
-            # "a review") -> noun reading
+            elif (i == 0 or tags[i - 1] in ("DT", "PRP$", "CD", "JJ")
+                  or (tags[i] != "VBN" and tags[i - 1] in ("VBZ", "VBP"))) \
+                    and i + 1 < n and (tags[i + 1] in _NOUNISH
+                                       or tags[i + 1] == "VBZ"):
+                # attributive participle opening an NP chunk ("a restored
+                # mural", "Denied calls return...") -> adjective reading
+                tags[i] = "JJ"
+        elif tags[i] == "VBZ" and lemmas[i] not in ("be", "have", "do") \
+                and i + 1 < n and tags[i + 1] in ("MD", "VB", "VBP", "VBZ"):
+            # plural noun misread as 3sg verb directly before the real
+            # verb group ("Counts will continue", "Denied calls return")
+            tags[i] = "NNS"  # lemma stays the singular (= verb lemma)
+        elif tags[i] in ("VB", "VBP") and i == 0 and i + 1 < n \
+                and tags[i + 1] in ("VBD", "VBZ", "MD") \
+                and lemmas[i] not in ("be", "have", "do"):
+            # sentence-initial noun/verb-ambiguous word directly before a
+            # finite verb is the subject ("Rain delayed the third set")
             tags[i], lemmas[i] = "NN", w
+        elif tags[i] in ("VB", "VBP", "VBZ") and i > 0 and tags[i - 1] in (
+            "DT", "PRP$", "JJ", "CD"
+        ) and lemmas[i] not in ("be", "have", "do"):
+            # noun/verb-ambiguous word inside an NP chunk ("the test",
+            # "a review", "the reports") -> noun reading
+            if tags[i] == "VBZ":
+                tags[i] = "NNS"  # lemma stays the singular (= verb lemma)
+            else:
+                tags[i], lemmas[i] = "NN", w
         elif tags[i] in ("NN", "NNS", "JJ") and i > 0:
             # base verb after an auxiliary chain ("did not portray",
             # "did not cross", "did not light", "will persist"): the
@@ -225,7 +255,11 @@ def _collect_np(seq, tags, start):
         t = tags[seq[j]]
         chunk.append(seq[j])
         j += 1
-        if t in ("NN", "NNS", "NNP", "PRP"):  # head reached -> chunk ends
+        if t in ("NN", "NNS", "NNP", "PRP"):
+            # head reached -> chunk ends, except a compound-noun run
+            # continues to its last noun ("the border station")
+            if t != "PRP" and j < len(seq) and tags[seq[j]] in _NOUNISH:
+                continue
             break
     if not chunk or tags[chunk[-1]] not in _NOUNISH + ("PRP",):
         return None, start
@@ -282,6 +316,10 @@ def _parse_vp(verb, seq, tags, lemmas, deps):
                 deps.append((verb, "nmod:" + lem, head))
                 k = nxt
                 continue
+            if lem in _PARTICLES:
+                # verb particle with no object NP ("went out", "taper
+                # off") -> compound:prt, CoreNLP-style
+                deps.append((verb, "compound:prt", i))
             k += 1
             continue
         if t == "RB":
@@ -301,7 +339,17 @@ def _parse_vp(verb, seq, tags, lemmas, deps):
             continue
         chunk, nxt = _collect_np(seq, tags, k)
         if chunk:
-            np_slots.append(_np_chunk_edges(chunk, tags, lemmas, deps))
+            head = _np_chunk_edges(chunk, tags, lemmas, deps)
+            first = chunk[0]
+            if lemmas[head] in _TEMPORAL_NOUNS and (
+                len(chunk) == 1 or lemmas[first] in ("this", "that",
+                                                     "every", "each")
+            ):
+                # bare temporal NP ("that morning", "this year") ->
+                # nmod:tmod, CoreNLP-style, not a dobj slot
+                deps.append((verb, "nmod:tmod", head))
+            else:
+                np_slots.append(head)
             k = nxt
             continue
         k += 1
@@ -333,6 +381,13 @@ def _parse_clause(idxs, tags, lemmas, deps, inherited_subject=None):
     content = [i for i in chain if tags[i].startswith("VB") and lemmas[i] not in ("be", "have", "do")]
     main = content[-1] if content else None
     be_idx = [i for i in chain if lemmas[i] == "be"]
+    if main is None and not be_idx:
+        # have/do with nothing after them are content verbs ("the island
+        # has one road"), matching CoreNLP's root choice
+        have_do = [i for i in chain if lemmas[i] in ("have", "do")
+                   and tags[i].startswith("VB")]
+        if have_do:
+            main = have_do[-1]
 
     # --- subject region: leading PPs (sentence adverbials) then the NP ---
     pre = idxs[:vstart]
@@ -541,7 +596,11 @@ def parse_sentence(sentence: str):
         if kind == "sub":
             deps.append((head, "mark", marker))
             if prev_head is not None:
-                deps.append((prev_head, "advcl:" + lemmas[marker], head))
+                # "that"-complements are ccomp in CoreNLP ("he promised
+                # that S"); other subordinators are adverbial clauses
+                label = "ccomp" if lemmas[marker] == "that" \
+                    else "advcl:" + lemmas[marker]
+                deps.append((prev_head, label, head))
             else:
                 pending_sub.append(head)
         elif kind == "cc":

@@ -27,7 +27,7 @@ from pathlib import Path
 
 STAGE_DIR = os.environ.get("ASER_ORACLE_STAGE_DIR", "/tmp/aser_spark_oracle")
 # bump when the staged layout or the generator/kernel semantics change
-STAGE_VERSION = 14  # r4: + parse_coverage table
+STAGE_VERSION = 15  # r5: held-out grammar growth (lexicon + retag + NP/clause fixes)
 
 _INSTANCE_COLS = [
     ("kind", "string"), ("conv_id", "string"), ("turn_idx", "int32"),
@@ -112,6 +112,30 @@ def _coverage_rows(n_convs: int, seed: int) -> list:
     return out
 
 
+def heldout_paragraph_rows() -> list:
+    """(conv_id, turn_idx, text) rows from the frozen held-out prose
+    corpus (fixtures/heldout_prose.jsonl, committed before any coverage
+    measurement) — the shared input for both the Spark
+    ``parse_coverage_heldout`` query and its staged oracle."""
+    fixture = Path(__file__).resolve().parent.parent / "fixtures" / "heldout_prose.jsonl"
+    rows = []
+    with open(fixture) as f:
+        for i, line in enumerate(f):
+            for t, text in enumerate(json.loads(line)["doc_texts"]):
+                rows.append((f"heldout-{i:04d}", t, text))
+    return rows
+
+
+def _coverage_rows_heldout() -> list:
+    from .pipeline.extract import _sentence_cache, turn_coverage_rows
+
+    memo = _sentence_cache("seed")
+    out = []
+    for conv_id, turn_idx, text in heldout_paragraph_rows():
+        out.extend(turn_coverage_rows(conv_id, turn_idx, text, memo))
+    return out
+
+
 def _media_rows(n: int) -> list:
     """Expected output of textops.multimodal.extract_media_features over
     synthesize_media(n): the SAME pure-python payload generator the Spark
@@ -131,7 +155,8 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
     base.mkdir(parents=True, exist_ok=True)
     paths = {k: base / f"{k}.parquet"
              for k in ("instances", "instances_discourse", "probase", "kb",
-                       "media", "concepts_exact", "parse_coverage")}
+                       "media", "concepts_exact", "parse_coverage",
+                       "parse_coverage_heldout")}
     marker = base / "MARKER.json"
     want = {"version": STAGE_VERSION, "n_convs": n_convs, "seed": seed,
             "n_media": n_media}
@@ -161,6 +186,11 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
                    [("alias", "string"), ("entity_id", "string"),
                     ("prior", "float64")])
     _write_parquet(paths["parse_coverage"], _coverage_rows(n_convs, seed),
+                   [("conv_id", "string"), ("turn_idx", "int32"),
+                    ("sent_idx", "int32"), ("n_tokens", "int32"),
+                    ("pos_tags", "string"), ("n_eventualities", "int32"),
+                    ("covered", "bool_")])
+    _write_parquet(paths["parse_coverage_heldout"], _coverage_rows_heldout(),
                    [("conv_id", "string"), ("turn_idx", "int32"),
                     ("sent_idx", "int32"), ("n_tokens", "int32"),
                     ("pos_tags", "string"), ("n_eventualities", "int32"),

@@ -817,6 +817,110 @@ def classify_senses(doc_parsed, connectives, syntax_trees, models):
     return connectives
 
 
+def _flank(filtered, s, i, step, k=10):  # k = _MAX_ATTEMPT (defined below)
+    """Up to ``k`` raw token steps from (sent ``s``, token ``i``) in
+    direction ``step``, as (sent_delta, token, pos) triples — the exact
+    stepping _adjacent_index uses, WITHOUT any skip set.  Every
+    cross-boundary feature walk is capped at _MAX_ATTEMPT raw steps, so
+    these triples (plus the two sentences' own text) fully determine
+    every feature a sentence-``s`` walk can observe outside [s-1, s]."""
+    out = []
+    ds, di = s, i
+    for _ in range(k):
+        if step < 0:
+            if di - 1 >= 0:
+                di -= 1
+            elif ds - 1 >= 0:
+                ds -= 1
+                di = len(filtered[ds]["tokens"]) - 1
+                if di < 0:
+                    continue
+            else:
+                break
+        else:
+            if di + 1 < len(filtered[ds]["tokens"]):
+                di += 1
+            elif ds + 1 < len(filtered):
+                ds += 1
+                di = 0
+                if not filtered[ds]["tokens"]:
+                    continue
+            else:
+                break
+        out.append((ds - s, filtered[ds]["tokens"][di],
+                    filtered[ds]["pos_tags"][di]))
+    return tuple(out)
+
+
+def _sentence_connective_rows(filtered, sentences, para_eventualities,
+                              syntax_trees, i, models, method, threshold):
+    """All relation rows whose connective lives in sentence ``i`` —
+    the D2→D3→D4/D5→D6→matching chain restricted to that sentence's
+    candidates.  Per-connective independence of every stage makes this
+    exactly the per-``i`` slice of the original doc-wide pass."""
+    cands = sorted(extract_connective_candidates(filtered[i]["tokens"]),
+                   key=lambda x: x["connective"])
+    if not cands:
+        return []
+    connectives = []
+    for c in cands:
+        c = {"connective": c["connective"], "indices": c["indices"],
+             "sent_idx": i}
+        strings = connective_feature_strings(
+            filtered, i, c["indices"], syntax_trees[i])
+        if models.is_connective(strings):
+            connectives.append(c)
+    ss_conns, ps_conns = [], []
+    for c in connectives:
+        strings = argument_position_feature_strings(
+            filtered, i, c["indices"], syntax_trees[i])
+        (ps_conns if models.is_ps(strings) else ss_conns).append(c)
+    extract_ss_arguments(filtered, ss_conns, syntax_trees, models)
+    ps_conns = extract_ps_arguments(filtered, ps_conns, syntax_trees, models)
+    connectives = classify_senses(filtered, ss_conns + ps_conns,
+                                  syntax_trees, models)
+    connectives.sort(key=lambda c: c["indices"][0] if c["indices"] else -1)
+
+    def _match(arg, e, conn_indices):
+        if method.lower() == "discourse":
+            return match_argument_eventuality_by_dependencies(
+                sentences[arg["sent_idx"]], arg["indices"], e, conn_indices)
+        return match_argument_eventuality(arg["indices"], e, method,
+                                          threshold)
+
+    rows = []
+    for c in connectives:
+        arg1, arg2, sense = c.get("arg1"), c.get("arg2"), c.get("sense")
+        if not (c.get("indices") and arg1 and arg2
+                and sense and sense != "None"):
+            continue
+        e1s = [e for e in para_eventualities[arg1["sent_idx"]]
+               if _match(arg1, e, c["indices"])]
+        e2s = [e for e in para_eventualities[arg2["sent_idx"]]
+               if _match(arg2, e, c["indices"])]
+        if not e1s or not e2s:
+            continue
+        cnt = 1.0 / (len(e1s) * len(e2s))
+        for e1 in e1s:
+            for e2 in e2s:
+                rows.append((e1["eid"], e2["eid"], sense, cnt))
+    return rows
+
+
+# (prev_sentence, sentence) pair memo for the relation pass.  The r4
+# profile showed warm-memo discourse cost dominated by this pass because
+# PS features re-read the full previous sentence for every occurrence of
+# a Zipf-hot sentence pair.  Key = both sentences' text + eventuality ids
+# (evs are f(text, separators), so eids pin the separator context) + the
+# raw _MAX_ATTEMPT-token flanks crossing the pair's outer boundaries (the
+# only out-of-pair state any feature walk can observe) + whether the
+# connective sentence's predecessor was eventuality-empty (EMPTY_SENT
+# replacement changes D5's clause source).  Rows reference content-hashed
+# eids only, so cached values are position- and paragraph-portable.
+_PAIR_MEMO: dict = {}
+_PAIR_MEMO_MAX = 1 << 16
+
+
 def extract_paragraph_relations_discourse(sentences, para_eventualities,
                                           syntax_trees=None,
                                           method: str = "Simpson",
@@ -854,42 +958,37 @@ def extract_paragraph_relations_discourse(sentences, para_eventualities,
         else:
             filtered.append(EMPTY_SENT_PARSED)
 
-    connectives = classify_connectives(filtered, syntax_trees, models)
-    ss_conns, ps_conns = [], []
-    for c in connectives:
-        strings = argument_position_feature_strings(
-            filtered, c["sent_idx"], c["indices"],
-            syntax_trees[c["sent_idx"]])
-        (ps_conns if models.is_ps(strings) else ss_conns).append(c)
-    extract_ss_arguments(filtered, ss_conns, syntax_trees, models)
-    ps_conns = extract_ps_arguments(filtered, ps_conns, syntax_trees, models)
-    connectives = classify_senses(filtered, ss_conns + ps_conns,
-                                  syntax_trees, models)
-    connectives.sort(
-        key=lambda c: (c["sent_idx"], c["indices"][0] if c["indices"] else -1))
-
-    def _match(arg, e, conn_indices):
-        if method.lower() == "discourse":
-            return match_argument_eventuality_by_dependencies(
-                sentences[arg["sent_idx"]], arg["indices"], e, conn_indices)
-        return match_argument_eventuality(arg["indices"], e, method,
-                                          threshold)
-
-    for c in connectives:
-        arg1, arg2, sense = c.get("arg1"), c.get("arg2"), c.get("sense")
-        if not (c.get("indices") and arg1 and arg2
-                and sense and sense != "None"):
+    memoizable = method.lower() != "discourse"  # dep-method reads raw parses
+    for i, sp in enumerate(filtered):
+        if not sp["tokens"]:
             continue
-        e1s = [e for e in para_eventualities[arg1["sent_idx"]]
-               if _match(arg1, e, c["indices"])]
-        e2s = [e for e in para_eventualities[arg2["sent_idx"]]
-               if _match(arg2, e, c["indices"])]
-        if not e1s or not e2s:
+        if not memoizable:
+            rows.extend(_sentence_connective_rows(
+                filtered, sentences, para_eventualities, syntax_trees, i,
+                models, method, threshold))
             continue
-        cnt = 1.0 / (len(e1s) * len(e2s))
-        for e1 in e1s:
-            for e2 in e2s:
-                rows.append((e1["eid"], e2["eid"], sense, cnt))
+        prev_real = sentences[i - 1]["text"] if i > 0 else ""
+        prev_empty = i > 0 and filtered[i - 1] is EMPTY_SENT_PARSED
+        key = (
+            sp["text"],
+            tuple(e["eid"] for e in para_eventualities[i]),
+            prev_real,
+            tuple(e["eid"] for e in para_eventualities[i - 1]) if i else (),
+            prev_empty,
+            _flank(filtered, i - 1 if i else 0, 0, -1),
+            _flank(filtered, i, len(sp["tokens"]) - 1, +1),
+            method,
+            threshold,
+        )
+        hit = _PAIR_MEMO.get(key)
+        if hit is None:
+            hit = _sentence_connective_rows(
+                filtered, sentences, para_eventualities, syntax_trees, i,
+                models, method, threshold)
+            if len(_PAIR_MEMO) >= _PAIR_MEMO_MAX:
+                _PAIR_MEMO.clear()
+            _PAIR_MEMO[key] = hit
+        rows.extend(hit)
     return rows
 
 

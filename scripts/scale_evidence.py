@@ -44,6 +44,108 @@ def _best_of(fn, n=2):
     return round(best, 3)
 
 
+def bench_skew_tasks():
+    """Per-TASK shuffle-read instrumentation for the salted vs naive
+    lineage collect on the 5x10^5-ratio head-key corpus (VERDICT r4 #6).
+
+    The r4 latency experiment showed naive beating salted wall-clock at
+    local[4]; the cluster-scale argument was always per-task input
+    BOUNDEDNESS, not latency — a 10^12-frequency head key funnels its
+    entire occurrence set through ONE reducer task in the naive plan,
+    while the salted plan caps any single task at ~1/n_salts of the hot
+    key (phase 1) and n_salts*cap rows (phase 2).  This measures exactly
+    that: max task shuffle-read records/bytes per stage, via the Spark
+    REST API (/api/v1 taskSummary, quantile 1.0)."""
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from aser_spark.config import get_spark
+    from aser_spark.pipeline.aggregate import DEFAULT_SALTS, build_lineage
+
+    spark = get_spark(app="skew-task-evidence", cpus=4, shuffle_partitions=8,
+                      extra={"spark.ui.enabled": "true"})
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    base = sc.uiWebUrl + "/api/v1"
+
+    def rest(path):
+        with urllib.request.urlopen(base + path) as r:
+            return json.load(r)
+
+    def stage_ids():
+        return {s["stageId"] for s in rest(f"/applications/{app_id}/stages")}
+
+    def max_task_reads(new_ids):
+        per_stage = []
+        for st in sorted(new_ids):
+            try:
+                summ = rest(f"/applications/{app_id}/stages/{st}/0/"
+                            "taskSummary?quantiles=1.0")
+            except Exception:
+                continue  # stage with no tasks / skipped
+            sr = summ.get("shuffleReadMetrics") or {}
+            recs = (sr.get("readRecords") or [0])[0]
+            byts = (sr.get("readBytes") or [0])[0]
+            if recs or byts:
+                per_stage.append({"stage": st,
+                                  "max_task_shuffle_records": int(recs),
+                                  "max_task_shuffle_mb": round(byts / 2**20, 2)})
+        return per_stage
+
+    cap, n_cold = 64, 500_000
+    out = {"metric": "skew_task_evidence", "n_cold_rows": n_cold,
+           "cap": cap, "n_salts": DEFAULT_SALTS, "cpus": 4, "sweep": []}
+    sid = F.concat_ws("|", "conv_id", "turn_idx", "sent_idx").alias("sid")
+
+    # sweep the HOT key's frequency at fixed cold mass: the naive plan's
+    # hot reducer must read every partial set of the head key in one
+    # task (max-task bytes grows ~linearly with hot frequency), while the
+    # salted phase-1 spreads it 1/n_salts per task and phase-2 reads
+    # n_salts capped partials — the max-task curve goes FLAT.
+    for hot_share in (750_000, 1_500_000, 3_000_000):
+        df = (spark.range(hot_share + n_cold)
+              .select(
+                  F.when(F.col("id") < hot_share, F.lit("hot_0"))
+                  .otherwise(F.concat(F.lit("e_"), F.expr("id div 3")))
+                  .alias("eid"),
+                  F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+                  F.lit(0).alias("turn_idx"), F.lit(0).alias("sent_idx"),
+                  F.lit(1.0).alias("frequency"))
+              .persist())
+        df.count()
+
+        def naive_capped():
+            (df.select("eid", sid).groupBy("eid")
+             .agg(F.slice(F.sort_array(F.collect_set("sid")), 1, cap)
+                  .alias("sids"), F.count("*").alias("n"))
+             .select(F.sum(F.size("sids"))).collect())
+
+        def salted_capped():
+            build_lineage(df, max_sids=cap) \
+                .select(F.sum(F.size("sids"))).collect()
+
+        row = {"hot_rows": hot_share}
+        for name, fn in (("naive", naive_capped), ("salted", salted_capped)):
+            before = stage_ids()
+            fn()
+            stages = max_task_reads(stage_ids() - before)
+            row[f"{name}_stages"] = stages
+            row[f"{name}_max_task_mb"] = max(
+                (s["max_task_shuffle_mb"] for s in stages), default=0.0)
+        row["max_task_ratio_naive_over_salted"] = round(
+            row["naive_max_task_mb"] / max(row["salted_max_task_mb"], 1e-9), 2)
+        out["sweep"].append(row)
+        df.unpersist()
+    lo, hi = out["sweep"][0], out["sweep"][-1]
+    out["naive_max_task_growth_4x_hot"] = round(
+        hi["naive_max_task_mb"] / max(lo["naive_max_task_mb"], 1e-9), 2)
+    out["salted_max_task_growth_4x_hot"] = round(
+        hi["salted_max_task_mb"] / max(lo["salted_max_task_mb"], 1e-9), 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def bench_skew():
     from pyspark.sql import functions as F
 
@@ -207,5 +309,5 @@ def bench_export():
 
 
 if __name__ == "__main__":
-    {"skew": bench_skew, "cc": bench_cc,
+    {"skew": bench_skew, "skew_tasks": bench_skew_tasks, "cc": bench_cc,
      "export": bench_export}[sys.argv[1]]()

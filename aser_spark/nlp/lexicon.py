@@ -399,54 +399,65 @@ IRREGULAR_NOUN_PLURALS = {
 }
 
 
+def _build_lexicon() -> dict:
+    """Compile the class-priority lookup into ONE dict (word -> (tag,
+    lemma)).  Earlier classes win via setdefault — exactly the probe
+    order the per-class lookup used; the r5 lexicon growth made the
+    15-probe chain measurable in the single-core kernel profile."""
+    lex: dict[str, tuple] = {}
+
+    def put(w, tag, lemma):
+        lex.setdefault(w, (tag, lemma))
+
+    for w, t in BE_FORMS.items():
+        put(w, t, "be")
+    for w, v in MODALS.items():
+        put(w, *v)
+    for w, v in AUX_VERBS.items():
+        put(w, *v)
+    put("not", "RB", "not")
+    put("n't", "RB", "not")
+    put("to", "TO", "to")
+    put("there", "EX", "there")
+    put("her", *POSSESSIVES["her"])  # PRP$ reading; parser may demote to PRP
+    for w, v in PRONOUNS.items():
+        put(w, *v)
+    for w, v in POSSESSIVES.items():
+        put(w, *v)
+    for w, v in DETERMINERS.items():
+        put(w, *v)
+    for w in QUANT_DETERMINERS:
+        put(w, "DT", w)
+    for w in NUMBER_WORDS:
+        put(w, "CD", w)
+    put("that", "IN", "that")
+    for w in COORDINATORS:
+        put(w, "CC", w)
+    for w in SUBORDINATORS:
+        put(w, "IN", w)  # incl. "so" -> IN
+    for w in PREPOSITIONS:
+        put(w, "IN", w)
+    for w in ADVERBS:
+        put(w, "RB", w)
+    for w in ADJECTIVES:
+        put(w, "JJ", w)
+    for w, v in VERB_FORMS.items():
+        put(w, *v)
+    for w, lemma in IRREGULAR_NOUN_PLURALS.items():
+        put(w, "NNS", lemma)
+    for w in NOUNS:
+        put(w, "NN", w)
+    # keyed-variant artifacts ("her_prp", "that_dt", ...) stay in the
+    # dict but are unreachable: the tokenizer never emits underscores
+    return lex
+
+
+_LEXICON = _build_lexicon()
+
+
 def lookup(token: str):
     """(tag, lemma) for one token, or None if out-of-vocabulary."""
-    w = token.lower()
-    if w in BE_FORMS:
-        return (BE_FORMS[w], "be")
-    if w in MODALS:
-        return MODALS[w]
-    if w in AUX_VERBS:
-        return AUX_VERBS[w]
-    if w == "not" or w == "n't":
-        return ("RB", "not")
-    if w == "to":
-        return ("TO", "to")
-    if w == "there":
-        return ("EX", "there")
-    if w == "her":
-        return POSSESSIVES["her"]  # PRP$ reading; parser may demote to PRP
-    if w in PRONOUNS:
-        return PRONOUNS[w]
-    if w in POSSESSIVES:
-        return POSSESSIVES[w]
-    if w in DETERMINERS:
-        return DETERMINERS[w]
-    if w in QUANT_DETERMINERS:
-        return ("DT", w)
-    if w in NUMBER_WORDS:
-        return ("CD", w)
-    if w == "that":
-        return ("IN", "that")
-    if w in COORDINATORS:
-        return ("CC", w)
-    if w in SUBORDINATORS:
-        if w == "so":
-            return ("IN", "so")
-        return ("IN", w)
-    if w in PREPOSITIONS:
-        return ("IN", w)
-    if w in ADVERBS:
-        return ("RB", w)
-    if w in ADJECTIVES:
-        return ("JJ", w)
-    if w in VERB_FORMS:
-        return VERB_FORMS[w]
-    if w in IRREGULAR_NOUN_PLURALS:
-        return ("NNS", IRREGULAR_NOUN_PLURALS[w])
-    if w in NOUNS:
-        return ("NN", w)
-    return None
+    return _LEXICON.get(token.lower())
 
 
 def fallback(token: str):

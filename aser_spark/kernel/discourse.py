@@ -917,8 +917,25 @@ def _sentence_connective_rows(filtered, sentences, para_eventualities,
 # connective sentence's predecessor was eventuality-empty (EMPTY_SENT
 # replacement changes D5's clause source).  Rows reference content-hashed
 # eids only, so cached values are position- and paragraph-portable.
+import os as _os
+
 _PAIR_MEMO: dict = {}
 _PAIR_MEMO_MAX = 1 << 16
+# DEFAULT OFF: measured on the Spark batch path (5k convs, local[8],
+# 3 reps/arm) the memo is 15-26% SLOWER — pair diversity across 25k
+# conversations plus task-to-worker drift defeats the cache while the
+# key build taxes every miss.  It wins 6x (3.4s -> 0.53s warm on the
+# 12k-turn profile) when the SAME paragraphs recur in one process —
+# the serving-daemon regime, which switches it on at startup.
+_PAIR_MEMO_ON = _os.environ.get("ASER_PAIR_MEMO", "0") != "0"
+
+
+def set_pair_memo(on: bool) -> None:
+    """Opt the current process in/out of the relation-pass pair memo."""
+    global _PAIR_MEMO_ON
+    _PAIR_MEMO_ON = bool(on)
+    if not on:
+        _PAIR_MEMO.clear()
 
 
 def extract_paragraph_relations_discourse(sentences, para_eventualities,
@@ -958,7 +975,8 @@ def extract_paragraph_relations_discourse(sentences, para_eventualities,
         else:
             filtered.append(EMPTY_SENT_PARSED)
 
-    memoizable = method.lower() != "discourse"  # dep-method reads raw parses
+    # dep-method reads raw parses; ASER_PAIR_MEMO=0 is the A/B control
+    memoizable = _PAIR_MEMO_ON and method.lower() != "discourse"
     for i, sp in enumerate(filtered):
         if not sp["tokens"]:
             continue

@@ -72,6 +72,14 @@ class _KernelOps:
         self.memo = _sentence_cache(mode)
         self.concept_topk = concept_topk
         self.probase_index = build_probase_index(probase_rows())
+        if mode == "discourse":
+            # serving repeatedly re-extracts the same client paragraphs in
+            # ONE long-lived process — exactly the regime where the
+            # (prev_sentence, sentence) relation-pass memo wins 6x
+            # (kernel/discourse.py; default-off in the Spark batch path)
+            from .kernel.discourse import set_pair_memo
+
+            set_pair_memo(True)
 
     def parse_text(self, text: str):
         from .nlp import parse_text

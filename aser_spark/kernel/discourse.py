@@ -980,6 +980,8 @@ def extract_paragraph_relations_discourse(sentences, para_eventualities,
     for i, sp in enumerate(filtered):
         if not sp["tokens"]:
             continue
+        if not extract_connective_candidates(sp["tokens"]):
+            continue  # no connective -> no rows; skip key build entirely
         if not memoizable:
             rows.extend(_sentence_connective_rows(
                 filtered, sentences, para_eventualities, syntax_trees, i,

@@ -540,6 +540,38 @@ def _q_mention_alias_expansion(spark, sf_dir):
             .distinct())
 
 
+def _mention_universe_ordered(spark):
+    """(conv_id, mention, ord): the coref mention universe with a
+    deterministic first-occurrence rank (ord = turn_idx*1e6 + sent_idx,
+    minimized over occurrences) — the document order the reference's
+    Entity.update fold iterates in (entity_linker.py:146-160)."""
+    inst = _kg(spark)["instances"].filter(F.col("kind") == "node")
+    ordc = (F.col("turn_idx").cast("long") * 1_000_000
+            + F.col("sent_idx")).alias("ord")
+    zipped = F.arrays_zip(F.split("words", " ").alias("w"),
+                          F.split("pos_tags", " ").alias("t"))
+    nouns = (
+        inst.select("conv_id", ordc, F.explode(zipped).alias("m"))
+        .filter(F.col("m.t").startswith("NN") & (F.length("m.w") > 0))
+        .select("conv_id", F.col("m.w").alias("mention"), "ord")
+    )
+    evs = inst.select("conv_id", F.col("words").alias("mention"), ordc)
+    return (nouns.unionByName(evs)
+            .groupBy("conv_id", "mention").agg(F.min("ord").alias("ord")))
+
+
+def _q_coref_entity_rank(spark, sf_dir):
+    """Cluster-level candidate merge with the reference's EXACT
+    Entity.update pairwise-average fold (entity_linker.py:146-160,
+    :312-313), re-expressed as a closed-form windowed aggregation
+    (pipeline/entities.py:coref_candidate_rank)."""
+    _ship_package(spark)
+    from aser_spark.pipeline.entities import coref_candidate_rank, toy_kb
+
+    return coref_candidate_rank(_mention_universe_ordered(spark),
+                                toy_kb(spark))
+
+
 def _q_ivf_ann_topk(spark, sf_dir):
     """IVF ANN, fixed-seeding quantizer variant (zero-fit baseline of the
     IVF family; see ivf_ann_topk_trained for the trained quantizer)."""
@@ -725,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_links": _q_kg_entity_links,
         "kg_node_ner_profiles": _q_kg_node_ner_profiles,
         "mention_coref_components": _q_mention_coref_components,
+        "coref_entity_rank": _q_coref_entity_rank,
         "mention_alias_expansion": _q_mention_alias_expansion,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "near_dup_groups": _q_near_dup_groups,
@@ -1150,6 +1183,69 @@ def _kg_oracle_sql() -> dict[str, str]:
             FROM vtx JOIN comp ON comp.a = vtx.n
         """,
         "mention_alias_expansion": _alias_expansion_sql(nodes_agg, series32),
+        # Entity.update pairwise-average fold, closed form:
+        # n carriers ordered by (ord, mention); w1 = 2^(1-n), wi = 2^(i-n-1)
+        "coref_entity_rank": f"""
+            WITH RECURSIVE inst AS (
+              SELECT conv_id, turn_idx, sent_idx, words, pos_tags
+              FROM read_parquet('{p["instances"]}') WHERE kind = 'node'),
+            t AS (SELECT conv_id,
+                         CAST(turn_idx AS BIGINT) * 1000000 + sent_idx AS o,
+                         string_split(words, ' ') AS w,
+                         string_split(pos_tags, ' ') AS pt, words FROM inst),
+            nn AS (SELECT conv_id, list_extract(w, s.i) AS mention, MIN(o) AS o
+                   FROM t JOIN {series32} s ON s.i <= len(w)
+                   WHERE list_extract(pt, s.i) LIKE 'NN%'
+                     AND length(list_extract(w, s.i)) > 0
+                   GROUP BY 1, 2),
+            evs AS (SELECT conv_id, words AS mention, MIN(o) AS o
+                    FROM t GROUP BY 1, 2),
+            m AS (SELECT conv_id, mention, MIN(o) AS ord
+                  FROM (SELECT * FROM nn UNION ALL SELECT * FROM evs)
+                  GROUP BY 1, 2),
+            e0 AS (SELECT a.conv_id, a.mention AS s, b.mention AS d
+                   FROM m a JOIN m b ON a.conv_id = b.conv_id
+                    AND a.mention < b.mention
+                   WHERE position(' ' || b.mention || ' ' IN ' ' || a.mention || ' ') > 0
+                      OR position(' ' || a.mention || ' ' IN ' ' || b.mention || ' ') > 0),
+            ed AS (SELECT conv_id || '|' || s AS a, conv_id || '|' || d AS b FROM e0
+                   UNION ALL
+                   SELECT conv_id || '|' || d AS a, conv_id || '|' || s AS b FROM e0),
+            vtx AS (SELECT conv_id, mention, ord,
+                           conv_id || '|' || mention AS n FROM m),
+            reach(a, b) AS (
+              SELECT n, n FROM vtx
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+            comp AS (SELECT a, MIN(b) AS c FROM reach GROUP BY a),
+            mem AS (SELECT vtx.conv_id, vtx.mention, vtx.ord,
+                           split_part(comp.c, '|', 2) AS component
+                    FROM vtx JOIN comp ON comp.a = vtx.n),
+            kb AS (SELECT regexp_replace(alias, '[^a-zA-Z0-9_]', '', 'g') AS a,
+                          entity_id, prior
+                   FROM read_parquet('{p["kb"]}')),
+            cand AS (SELECT mem.conv_id, mem.component, mem.mention,
+                            kb.entity_id, MAX(kb.prior) AS prior,
+                            MIN(mem.ord) AS ord
+                     FROM mem JOIN kb
+                       ON regexp_replace(mem.mention, '[^a-zA-Z0-9_]', '', 'g') = kb.a
+                     GROUP BY 1, 2, 3, 4),
+            wgt AS (SELECT conv_id, component, entity_id, prior,
+                           ROW_NUMBER() OVER (PARTITION BY conv_id, component, entity_id
+                                              ORDER BY ord, mention) AS i,
+                           COUNT(*) OVER (PARTITION BY conv_id, component, entity_id) AS nn
+                    FROM cand),
+            mrg AS (SELECT conv_id, component, entity_id,
+                           ROUND(SUM(prior * CASE WHEN i = 1 THEN pow(2.0, 1 - nn)
+                                                  ELSE pow(2.0, i - nn - 1) END), 6)
+                             AS merged_freq
+                    FROM wgt GROUP BY 1, 2, 3)
+            SELECT conv_id, component, entity_id, merged_freq,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY conv_id, component
+                                      ORDER BY merged_freq DESC, entity_id) AS INT)
+                     AS rank
+            FROM mrg
+        """,
     }
 
 

@@ -242,6 +242,67 @@ def link_entities_coref(mentions: DataFrame, kb_aliases: DataFrame,
         scope_col, mention_col, "component", "entity_id", "prior")
 
 
+def coref_candidate_rank(mentions: DataFrame, kb_aliases: DataFrame,
+                         scope_col: str = "conv_id",
+                         mention_col: str = "mention",
+                         order_col: str = "ord") -> DataFrame:
+    """The reference's EXACT cluster candidate merge — Entity.update's
+    order-dependent pairwise-average fold (entity_linker.py:146-160;
+    update(): freq = (freq + other.freq) / 2, :312-313) — re-expressed as
+    ONE window + one hash aggregation.
+
+    The reference iterates a cluster's mentions in document order and,
+    per candidate entity, folds f <- (f + f_i) / 2 over the mentions that
+    carry it.  That fold has a closed form over the ordered carrier
+    subsequence: with n carriers, weight(1st) = 2^-(n-1) and
+    weight(i>=2) = 2^-(n-i+1); merged = sum_i f_i * w_i.  So the
+    imperative DisjointSet + dict loop becomes a declarative plan that
+    scales with the mention table, not the driver.
+
+    Divergence (documented): the fold basis is DISTINCT mention surfaces
+    ordered by first occurrence (our set-based coref model), where the
+    reference folds over every occurrence.
+
+    mentions: (scope, mention, ord) with ``ord`` a deterministic
+    first-occurrence rank.  Output: (scope, component, entity_id,
+    merged_freq, rank) — rank 1 is the cluster's chosen entity."""
+    from pyspark.sql import Window
+
+    norm = F.lower(F.regexp_replace(F.col(mention_col), r"[^\w]", ""))
+    kb_norm = F.lower(F.regexp_replace(F.col("alias"), r"[^\w]", ""))
+    cands = (
+        mentions.withColumn("_alias", norm)
+        .join(F.broadcast(kb_aliases.withColumn("_alias", kb_norm)),
+              "_alias", "inner")
+        .groupBy(scope_col, mention_col, "entity_id")
+        .agg(F.max("prior").alias("prior"),
+             F.min(order_col).alias("_ord"))
+    )
+    comps = coref_components(
+        mentions.select(scope_col, mention_col).distinct(),
+        scope_col, mention_col)
+    carriers = cands.join(comps, [scope_col, mention_col])
+    w = Window.partitionBy(scope_col, "component", "entity_id") \
+              .orderBy("_ord", mention_col)
+    wn = Window.partitionBy(scope_col, "component", "entity_id")
+    weighted = (
+        carriers
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .withColumn("_w", F.when(F.col("_i") == 1,
+                                 F.pow(F.lit(2.0), F.lit(1) - F.col("_n")))
+                    .otherwise(F.pow(F.lit(2.0), F.col("_i") - F.col("_n") - 1)))
+    )
+    merged = (
+        weighted.groupBy(scope_col, "component", "entity_id")
+        .agg(F.round(F.sum(F.col("prior") * F.col("_w")), 6)
+             .alias("merged_freq"))
+    )
+    rank_w = Window.partitionBy(scope_col, "component") \
+                   .orderBy(F.desc("merged_freq"), F.asc("entity_id"))
+    return merged.withColumn("rank", F.row_number().over(rank_w))
+
+
 def entity_cooccurrence_edges(links: DataFrame) -> DataFrame:
     """KG enrichment: entities co-mentioned in one eventuality."""
     a = links.select("eid", F.col("entity_id").alias("e1"))

@@ -272,3 +272,32 @@ def test_streaming_stateful_conversation_progress(spark, tmp_path):
         cur = final.get(r.conv_id, (0, 0))
         final[r.conv_id] = max(cur, (r.n_turns, r.n_chars))
     assert final == want
+
+
+def test_coref_candidate_rank_matches_reference_fold(spark):
+    """The closed-form weights in coref_candidate_rank must equal the
+    reference's literal Entity.update fold f <- (f + f_i)/2 over carriers
+    in document order (entity_linker.py:146-160, :312-313)."""
+    from aser_spark.pipeline.entities import coref_candidate_rank
+
+    # one scope; mentions "x", "x y", "y" all corefer via containment
+    mentions = spark.createDataFrame(
+        [("c0", "x", 1), ("c0", "x y", 2), ("c0", "y", 3), ("c0", "z", 4)],
+        "conv_id string, mention string, ord long")
+    kb = spark.createDataFrame(
+        [("x", "Q1", 0.9), ("x y", "Q1", 0.6), ("y", "Q1", 0.9),
+         ("y", "Q2", 0.4), ("z", "Q3", 0.5)],
+        "alias string, entity_id string, prior double")
+    rows = {(r["component"], r["entity_id"]): (r["merged_freq"], r["rank"])
+            for r in coref_candidate_rank(mentions, kb).collect()}
+
+    def fold(freqs):
+        f = freqs[0]
+        for x in freqs[1:]:
+            f = (f + x) / 2
+        return round(f, 6)
+
+    # carriers of Q1 in ord order: x(0.9), "x y"(0.6), y(0.9)
+    assert rows[("x", "Q1")] == (fold([0.9, 0.6, 0.9]), 1)
+    assert rows[("x", "Q2")] == (fold([0.4]), 2)    # only y carries Q2
+    assert rows[("z", "Q3")] == (fold([0.5]), 1)    # singleton cluster

@@ -64,3 +64,70 @@ def test_oov_fallback_is_deterministic():
     b = parse_sentence("the quorble snarfed zibbily.")
     assert a == b
     assert a["pos_tags"][3] == "RB"      # -ly fallback
+
+
+# --- r5 held-out grammar-growth rules --------------------------------------
+
+def test_compound_noun_np_run():
+    p = parse_sentence("our train left the border station.")
+    d = p["dependencies"]
+    # head = last noun of the run, compound edge to the inner noun
+    assert (5, "compound", 4) in d       # station <- border
+    assert (2, "dobj", 5) in d           # left -> station
+
+
+def test_attributive_participle_reads_jj():
+    p = parse_sentence("the museum unveiled a restored mural.")
+    assert p["pos_tags"][4] == "JJ"      # restored
+    assert (5, "amod", 4) in p["dependencies"]
+
+
+def test_np_internal_vbz_demotes_to_nns():
+    p = parse_sentence("the dog liked the reports.")
+    assert p["pos_tags"][4] == "NNS"
+    assert p["lemmas"][4] == "report"    # lemma stays the singular
+
+
+def test_sentence_initial_subject_noun_before_finite_verb():
+    p = parse_sentence("rain delayed the game.")
+    assert p["pos_tags"][0] == "NN"
+    assert (1, "nsubj", 0) in p["dependencies"]
+
+
+def test_plural_subject_vbz_before_modal():
+    p = parse_sentence("counts will continue.")
+    assert p["pos_tags"][0] == "NNS"
+    assert (2, "nsubj", 0) in p["dependencies"]
+
+
+def test_have_as_main_verb():
+    p = parse_sentence("the island has one road.")
+    d = p["dependencies"]
+    assert (2, "nsubj", 1) in d
+    assert (2, "dobj", 4) in d
+    assert p["pos_tags"][3] == "CD"      # number word
+
+
+def test_that_complement_is_ccomp():
+    p = parse_sentence("he knew that she waited.")
+    labs = {lab for _, lab, _ in p["dependencies"]}
+    assert "ccomp" in labs and "advcl:that" not in labs
+
+
+def test_demonstrative_that_before_noun():
+    p = parse_sentence("she liked that song.")
+    assert p["pos_tags"][2] == "DT"
+    assert (3, "dobj" , 3) not in p["dependencies"]  # sanity: no self-dep
+    assert (1, "dobj", 3) in p["dependencies"]
+
+
+def test_verb_particle_compound_prt():
+    p = parse_sentence("the power went out.")
+    assert (2, "compound:prt", 3) in p["dependencies"]
+
+
+def test_bare_temporal_np_is_tmod():
+    p = parse_sentence("he worked that morning.")
+    d = p["dependencies"]
+    assert (1, "nmod:tmod", 3) in d
+    assert not any(lab == "dobj" for _, lab, _ in d)

@@ -853,13 +853,17 @@ def _flank(filtered, s, i, step, k=10):  # k = _MAX_ATTEMPT (defined below)
 
 
 def _sentence_connective_rows(filtered, sentences, para_eventualities,
-                              syntax_trees, i, models, method, threshold):
+                              syntax_trees, i, models, method, threshold,
+                              cands_raw=None):
     """All relation rows whose connective lives in sentence ``i`` —
     the D2→D3→D4/D5→D6→matching chain restricted to that sentence's
     candidates.  Per-connective independence of every stage makes this
-    exactly the per-``i`` slice of the original doc-wide pass."""
-    cands = sorted(extract_connective_candidates(filtered[i]["tokens"]),
-                   key=lambda x: x["connective"])
+    exactly the per-``i`` slice of the original doc-wide pass.
+    ``cands_raw`` lets the caller reuse an already-extracted candidate
+    list (the sort here canonicalizes order either way)."""
+    if cands_raw is None:
+        cands_raw = extract_connective_candidates(filtered[i]["tokens"])
+    cands = sorted(cands_raw, key=lambda x: x["connective"])
     if not cands:
         return []
     connectives = []
@@ -918,9 +922,16 @@ def _sentence_connective_rows(filtered, sentences, para_eventualities,
 # replacement changes D5's clause source).  Rows reference content-hashed
 # eids only, so cached values are position- and paragraph-portable.
 import os as _os
+import threading as _threading
 
 _PAIR_MEMO: dict = {}
 _PAIR_MEMO_MAX = 1 << 16
+# Guards insert/eviction across the serving daemon's handler threads (the
+# only regime with the memo ON + concurrency).  Values are write-once and
+# immutable, so unlocked `get` is safe; the lock keeps the
+# clear-when-full / set pair atomic so one thread's eviction can't race
+# another's insert into a dict it believes has room.
+_PAIR_MEMO_LOCK = _threading.Lock()
 # DEFAULT OFF: measured on the Spark batch path (5k convs, local[8],
 # 3 reps/arm) the memo is 15-26% SLOWER — pair diversity across 25k
 # conversations plus task-to-worker drift defeats the cache while the
@@ -980,12 +991,13 @@ def extract_paragraph_relations_discourse(sentences, para_eventualities,
     for i, sp in enumerate(filtered):
         if not sp["tokens"]:
             continue
-        if not extract_connective_candidates(sp["tokens"]):
+        cands_raw = extract_connective_candidates(sp["tokens"])
+        if not cands_raw:
             continue  # no connective -> no rows; skip key build entirely
         if not memoizable:
             rows.extend(_sentence_connective_rows(
                 filtered, sentences, para_eventualities, syntax_trees, i,
-                models, method, threshold))
+                models, method, threshold, cands_raw=cands_raw))
             continue
         prev_real = sentences[i - 1]["text"] if i > 0 else ""
         prev_empty = i > 0 and filtered[i - 1] is EMPTY_SENT_PARSED
@@ -1004,10 +1016,11 @@ def extract_paragraph_relations_discourse(sentences, para_eventualities,
         if hit is None:
             hit = _sentence_connective_rows(
                 filtered, sentences, para_eventualities, syntax_trees, i,
-                models, method, threshold)
-            if len(_PAIR_MEMO) >= _PAIR_MEMO_MAX:
-                _PAIR_MEMO.clear()
-            _PAIR_MEMO[key] = hit
+                models, method, threshold, cands_raw=cands_raw)
+            with _PAIR_MEMO_LOCK:
+                if len(_PAIR_MEMO) >= _PAIR_MEMO_MAX:
+                    _PAIR_MEMO.clear()
+                _PAIR_MEMO[key] = hit
         rows.extend(hit)
     return rows
 

@@ -53,23 +53,40 @@ def _find_sbar_split(clause, syntax_tree):
     clause = tuple(clause)
     if syntax_tree is None or syntax_tree.tree is None:
         return [clause]
-    sub = syntax_tree.get_subtree_by_token_indices(clause)
-    if sub.tree is None:
-        return [clause]
-    for node in sub.tree.traverse():
-        if node.name == "SBAR":
-            leaves = {leaf.index for leaf in node.get_leaves()}
-            if len(leaves) == len(clause):
-                continue
-            in_sbar, out_sbar = [], []
-            for idx in clause:
-                (in_sbar if idx in leaves else out_sbar).append(idx)
-            if not in_sbar or not out_sbar:
-                continue
-            if in_sbar[0] < out_sbar[0]:
-                return [tuple(in_sbar), tuple(out_sbar)]
-            return [tuple(out_sbar), tuple(in_sbar)]
+    # Equivalent to the reference's pruned-subtree walk
+    # (get_subtree_by_token_indices + traverse) WITHOUT materializing the
+    # clone: a node exists in the pruned subtree iff it has >=1 kept leaf,
+    # its pruned leaf set is (original leaves ∩ clause), and the pruned
+    # preorder is the original preorder filtered to kept nodes — so
+    # first-SBAR-match order is identical (was the #1 hot spot: ~330k
+    # SyntaxNode clones per 8k turns).
+    cset = set(clause)
+    for leaves_all in _sbar_leafsets(syntax_tree):
+        leaves = leaves_all & cset
+        if not leaves or len(leaves) == len(clause):
+            continue
+        in_sbar, out_sbar = [], []
+        for idx in clause:
+            (in_sbar if idx in leaves else out_sbar).append(idx)
+        if in_sbar[0] < out_sbar[0]:
+            return [tuple(in_sbar), tuple(out_sbar)]
+        return [tuple(out_sbar), tuple(in_sbar)]
     return [clause]
+
+
+def _sbar_leafsets(syntax_tree):
+    """Leaf-index sets of every SBAR node in preorder, memoized on the
+    tree.  Trees are parse-memo residents shared across every clause of
+    every occurrence of a sentence, so this computes once per UNIQUE
+    sentence instead of once per clause (write-once, idempotent — safe
+    under the serving daemon's threads)."""
+    cache = getattr(syntax_tree, "_sbar_leafsets", None)
+    if cache is None:
+        cache = [frozenset(leaf.index for leaf in node.get_leaves())
+                 for node in syntax_tree.tree.traverse()
+                 if node.name == "SBAR"]
+        syntax_tree._sbar_leafsets = cache
+    return cache
 
 
 def get_clauses(tokens, syntax_tree=None, sep_indices=None):

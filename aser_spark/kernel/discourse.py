@@ -926,6 +926,12 @@ import threading as _threading
 
 _PAIR_MEMO: dict = {}
 _PAIR_MEMO_MAX = 1 << 16
+# text -> connective-candidate list (pure function of tokens; entries are
+# read-only downstream).  Unlike the pair memo this is ALWAYS on: keys are
+# single sentences (high hit rate under Zipf even across conversations)
+# and the value build is the scan itself, so there is no lose regime.
+_CAND_MEMO: dict = {}
+_CAND_MEMO_MAX = 1 << 16
 # Guards insert/eviction across the serving daemon's handler threads (the
 # only regime with the memo ON + concurrency).  Values are write-once and
 # immutable, so unlocked `get` is safe; the lock keeps the
@@ -991,7 +997,16 @@ def extract_paragraph_relations_discourse(sentences, para_eventualities,
     for i, sp in enumerate(filtered):
         if not sp["tokens"]:
             continue
-        cands_raw = extract_connective_candidates(sp["tokens"])
+        # candidate scan is a pure function of the token list; Zipf-hot
+        # sentences recur, so memo by token tuple (consumers never mutate
+        # the candidate dicts — _sentence_connective_rows copies fields out)
+        ck = tuple(sp["tokens"])
+        cands_raw = _CAND_MEMO.get(ck)
+        if cands_raw is None:
+            cands_raw = extract_connective_candidates(sp["tokens"])
+            if len(_CAND_MEMO) >= _CAND_MEMO_MAX:
+                _CAND_MEMO.clear()
+            _CAND_MEMO[ck] = cands_raw
         if not cands_raw:
             continue  # no connective -> no rows; skip key build entirely
         if not memoizable:
@@ -1548,9 +1563,15 @@ def sentence_connective_separators(tokens, pos_tags, syntax_tree,
                     "lemmas": [next_ctx[0]], "dependencies": []})
 
     models = load_discourse_models()
+    ck = tuple(tokens)
+    cands = _CAND_MEMO.get(ck)
+    if cands is None:
+        cands = extract_connective_candidates(tokens)
+        if len(_CAND_MEMO) >= _CAND_MEMO_MAX:
+            _CAND_MEMO.clear()
+        _CAND_MEMO[ck] = cands
     sep = set()
-    for c in sorted(extract_connective_candidates(tokens),
-                    key=lambda x: x["connective"]):
+    for c in sorted(cands, key=lambda x: x["connective"]):
         strings = connective_feature_strings(doc, sent_idx, c["indices"],
                                              syntax_tree)
         if models.is_connective(strings):

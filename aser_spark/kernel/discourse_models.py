@@ -62,7 +62,7 @@ class _CompiledModel:
     (lut: string -> tuple of per-class weights) or 'raw' (lut: the weight
     row itself, multiplied by the raw numeric value)."""
 
-    __slots__ = ("prog", "intercept", "classes", "n_classes")
+    __slots__ = ("prog", "prog1", "intercept", "classes", "n_classes")
 
     def __init__(self, coef, intercept, classes, families, vocab):
         coef_t = coef.T.tolist()  # [n_features][n_classes]
@@ -82,8 +82,42 @@ class _CompiledModel:
             offset += len(fam_vocab)
         assert offset == coef.shape[1], (offset, coef.shape)
         self.prog = prog
+        if self.n_classes == 1:
+            # scalar-weight program for the binary models (the bulk of
+            # calls: D2/D3/D4/D5 are all binary) — same accumulation
+            # order and arithmetic, minus the per-feature 1-iteration
+            # loop and tuple indexing, so scores stay bit-identical
+            self.prog1 = [
+                (family, kind,
+                 lut[0] if kind == "raw"
+                 else {s: w[0] for s, w in lut.items()})
+                for family, kind, lut in prog
+            ]
+
+    def _decision1(self, strings):
+        out = self.intercept[0]
+        for family, kind, lut in self.prog1:
+            if kind == "feat":
+                w = lut.get(strings[family])
+                if w is not None:
+                    out += w
+            elif kind == "list":
+                seen = set()
+                for s in strings[family]:
+                    if s in seen:
+                        continue
+                    seen.add(s)
+                    w = lut.get(s)
+                    if w is not None:
+                        out += w
+            else:
+                v = strings[family]
+                out += lut if v == 1 else lut * v
+        return out
 
     def decision(self, strings):
+        if self.n_classes == 1:
+            return [self._decision1(strings)]
         out = list(self.intercept)
         n = self.n_classes
         for family, kind, lut in self.prog:

@@ -882,8 +882,8 @@ def _alias_expansion_sql(nodes_agg: str, series32: str) -> str:
                 AND length(list_extract(w, s.i)) > 0),
         std AS (SELECT mention,
                        array_to_string(list_transform(string_split(mention, ' '),
-                         x -> CASE WHEN list_contains({stop}, lower(x)) THEN lower(x)
-                              ELSE upper(substr(x, 1, 1)) || substr(x, 2) END), ' ')
+                         x -> CASE WHEN list_contains({stop}, x) THEN lower(x)
+                              ELSE upper(substr(lower(x), 1, 1)) || substr(lower(x), 2) END), ' ')
                          AS standard
                 FROM m)
         SELECT DISTINCT mention, alias FROM (

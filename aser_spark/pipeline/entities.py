@@ -97,11 +97,15 @@ def expand_mention_aliases(mentions: DataFrame,
     tests and the DuckDB oracle both encode."""
     stop = F.array(*[F.lit(s) for s in _STOPWORDS])
     words = F.split(F.col(mention_col), " ")
+    # exact acronym() fold (entity_linker.py:67-74): stopword membership
+    # tests the RAW token (the nltk list is lowercase, so "The" is NOT a
+    # stopword hit), and content words get cap(w.lower()) — first letter
+    # upper, REST LOWERED ("NASA" -> "Nasa"), not case-preserving initcap
     standard = F.concat_ws(" ", F.transform(
         words,
-        lambda w: F.when(F.array_contains(stop, F.lower(w)), F.lower(w))
-                   .otherwise(F.concat(F.upper(F.substring(w, 1, 1)),
-                                       F.substring(w, 2, 2 ** 30))),
+        lambda w: F.when(F.array_contains(stop, w), F.lower(w))
+                   .otherwise(F.concat(F.upper(F.substring(F.lower(w), 1, 1)),
+                                       F.substring(F.lower(w), 2, 2 ** 30))),
     ))
     abbr = F.lit(None).cast("array<string>")
     for name, forms in _MONTH_DAY_ABBR.items():

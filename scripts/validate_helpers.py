@@ -287,3 +287,35 @@ def load_reference_argpos_classifier():
                 d[line] = idx
         setattr(ac, feat + "_dict", d)
     return ac
+
+
+def load_reference_entity_linker():
+    """-> dict with the reference entity_linker's pure string functions
+    (acronym, str_contain), loaded WITHOUT wiki data or nltk.
+
+    The module can't be imported as-is: it references ``corpus`` (nltk)
+    at line 10 without importing it (NameError on a plain import), and
+    word_tokenize needs nltk data.  We exec the source with a seeded
+    namespace instead: ``corpus.stopwords.words('english')`` returns []
+    (every caller of acronym() passes an explicit stopword set — the
+    module-level stop_words global is irrelevant to the functions under
+    test), and word_tokenize = str.split, which is the identity on our
+    mention universe (kernel mentions are PTB tokens joined by ' ')."""
+    import types
+
+    src_path = Path("/root/reference/aser/extract/entity_linker.py")
+
+    class _Stopwords:
+        @staticmethod
+        def words(lang):
+            return []
+
+    corpus = types.SimpleNamespace(stopwords=_Stopwords())
+    _stub_module("nltk")
+    _stub_module("nltk.tokenize", word_tokenize=lambda s: s.split())
+    g = {"corpus": corpus, "__name__": "reference_entity_linker",
+         "__file__": str(src_path)}
+    exec(compile(src_path.read_text(), str(src_path), "exec"), g)
+    return {"acronym": g["acronym"], "str_contain": g["str_contain"],
+            "Mention": g.get("Mention"), "Entity": g.get("Entity"),
+            "DisjointSet": g.get("DisjointSet")}

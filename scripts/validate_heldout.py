@@ -25,7 +25,9 @@ and reports:
     a verbal or copular clause analysis (the CoreNLP-stand-in metric —
     eventuality extraction is ASER's selective layer on top of it).
 
-Usage: python scripts/validate_heldout.py [--json PATH]
+Usage: python scripts/validate_heldout.py [--json PATH] [--corpus NAME]
+(--corpus heldout_prose2 selects the second frozen corpus; default is
+the r5 corpus heldout_prose)
 """
 from __future__ import annotations
 
@@ -43,6 +45,9 @@ def main():
     out_path = None
     if "--json" in sys.argv:
         out_path = sys.argv[sys.argv.index("--json") + 1]
+    corpus_name = "heldout_prose"
+    if "--corpus" in sys.argv:
+        corpus_name = sys.argv[sys.argv.index("--corpus") + 1]
 
     from aser_spark.kernel import extract_sentence_eventualities
     from aser_spark.kernel.patterns import CLAUSE_SKIP_WORDS
@@ -53,7 +58,7 @@ def main():
     n = {"sentences": 0, "policy_skip": 0, "covered": 0, "no_subject": 0,
          "rule_veto": 0, "parse_ok": 0, "parity_fail": 0}
     mism = []
-    corpus = REPO / "fixtures" / "heldout_prose.jsonl"
+    corpus = REPO / "fixtures" / f"{corpus_name}.jsonl"
     for line in open(corpus):
         for text in json.loads(line)["doc_texts"]:
             for sent in parse_text(text):

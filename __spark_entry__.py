@@ -713,11 +713,27 @@ def _q_parse_coverage_heldout(spark, sf_dir):
     return parse_coverage(df)
 
 
+def _q_parse_coverage_heldout2(spark, sf_dir):
+    """r6 held-out coverage surface: the same parse_coverage operator over
+    fixtures/heldout_prose2.jsonl — 104 hand-composed paragraphs in eight
+    registers unseen by corpus #1 (legal, recipes, forum/chat, academic
+    abstracts, obituaries, product manuals, meeting minutes, sports
+    commentary), frozen and committed BEFORE the first measurement
+    (scripts/gen_heldout_corpus2.py).  Oracled against a pure-Python
+    staging of the identical kernel."""
+    _ship_package(spark)
+    from aser_spark.oracle_stage import heldout_paragraph_rows
+    from aser_spark.pipeline.extract import parse_coverage
+
+    df = spark.createDataFrame(heldout_paragraph_rows("heldout_prose2"),
+                               "conv_id string, turn_idx int, text string")
+    return parse_coverage(df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_event_type_stats": _q_agg_event_type_stats,
         "salted_user_value_sum": _q_salted_user_value_sum,
-        "freq_threshold_filter": _q_freq_threshold_filter,
         "semi_join_active_customers": _q_semi_join_active_customers,
         "adjacent_event_transitions": _q_adjacent_event_transitions,
         "union_merge_lineitem": _q_union_merge_lineitem,
@@ -768,6 +784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # redundant TPC-H-ish analogs below are the tail instead.
         "parse_coverage": _q_parse_coverage,
         "parse_coverage_heldout": _q_parse_coverage_heldout,
+        "parse_coverage_heldout2": _q_parse_coverage_heldout2,
+        "freq_threshold_filter": _q_freq_threshold_filter,
         "topk_events_per_type": _q_topk_events_per_type,
         "frequency_sweep_users": _q_frequency_sweep_users,
     }
@@ -1155,6 +1173,11 @@ def _kg_oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, sent_idx, n_tokens, pos_tags,
                    n_eventualities, covered
             FROM read_parquet('{p["parse_coverage_heldout"]}')
+        """,
+        "parse_coverage_heldout2": f"""
+            SELECT conv_id, turn_idx, sent_idx, n_tokens, pos_tags,
+                   n_eventualities, covered
+            FROM read_parquet('{p["parse_coverage_heldout2"]}')
         """,
         "mention_coref_components": f"""
             WITH RECURSIVE inst AS (

@@ -53,7 +53,7 @@ PREPOSITIONS = frozenset(
     "under between among across behind below above beneath beside during "
     "against toward towards upon off throughout despite amid within "
     "outside onto via per past alongside atop underneath aboard beyond "
-    "out".split()
+    "out than".split()
 )
 
 # number words -> CD (fallback only recognizes digit strings)
@@ -132,7 +132,7 @@ ADJECTIVES = frozenset(
     "earliest latest oldest newest largest smallest highest lowest "
     "longest shortest strongest weakest biggest greatest fastest slowest "
     "deepest widest thickest thinnest finest true shallow independent "
-    "quarterly compatible present".split()
+    "quarterly compatible present quick".split()
 )
 
 NOUNS = frozenset(
@@ -367,13 +367,13 @@ _REGULAR_VERBS = frozenset(
     "secure constitute capture classify quantify revisit qualify preserve "
     "expose occupy resist ripen alter restore collapse dissolve evaporate "
     "thicken shimmer skim whisk study line prize row carve excuse cool "
-    "ruin age round record amend dispute".split()
+    "ruin age round record amend dispute admit inform deglaze".split()
 )
 
 # final-consonant doubling before -ed / -ing
 _DOUBLING = frozenset(
     "drop grab occur prefer regret rub scan shrug skip slip step stir "
-    "submit swap tag tip transfer trim wrap plan fit skim".split()
+    "submit swap tag tip transfer trim wrap plan fit skim admit".split()
 )
 
 _VOWELS = "aeiou"

@@ -107,12 +107,122 @@ def _is_verb(tag):
     return tag.startswith("VB") or tag == "MD"
 
 
+# nominal gerunds that form noun compounds ("training sessions",
+# "parking passes") — the only VBG+noun sequences read nominally; other
+# VBG+noun stays a gerund VP ("leaving town", "eating apples")
+_NOMINAL_GERUNDS = frozenset((
+    "training", "monitoring", "parking", "housing", "clothing",
+    "planting", "sampling", "closing", "flooding", "tracking",
+))
+_ORDINAL_JJ = frozenset((
+    "second", "third", "fourth", "fifth", "sixth", "seventh", "eighth",
+    "ninth", "tenth",
+))
+_TEMPORAL_JJ = frozenset((
+    "daily", "weekly", "monthly", "yearly", "hourly", "nightly",
+))
+_AMBIG_JJ_ADV = frozenset(("early", "late", "earlier", "later"))
+
+
 def _retag(tokens, tags, lemmas):
     """Context fixes: her PRP$->PRP before verbs/end, ambiguous VBD->VBN
-    after a be/have auxiliary (passive / perfect participles)."""
+    after a be/have auxiliary (passive / perfect participles), possessive
+    's, nominal gerunds, adverb/adjective flips (r6 held-out growth)."""
     n = len(tokens)
+
+    def _aux_before(i):
+        j = i - 1
+        while j >= 0 and tags[j] == "RB":
+            j -= 1
+        return j >= 0 and (
+            tags[j] in ("MD", "TO")
+            or (lemmas[j] in ("be", "have") and tags[j].startswith("VB"))
+        )
+
     for i in range(n):
         w = tokens[i].lower()
+        nxt = tags[i + 1] if i + 1 < n else "."
+        nxt2 = tags[i + 2] if i + 2 < n else "."
+        prv = tags[i - 1] if i > 0 else None
+        if w == "'s" and lemmas[i] == "be" and prv in _NOUNISH and (
+            nxt in _NOUNISH or (nxt in ("JJ", "CD") and nxt2 in _NOUNISH)
+        ):
+            # possessive clitic ("the city 's laws"), not is-contraction
+            tags[i], lemmas[i] = "POS", "'s"
+            continue
+        if tags[i] == "RB" and nxt in _NOUNISH and (
+            prv in ("DT", "PRP$") or w in _AMBIG_JJ_ADV
+        ):
+            # attributive reading of an adverb-default word ("a late fee",
+            # "its first keeper", "earlier varieties")
+            tags[i], lemmas[i] = "JJ", w
+            continue
+        if tags[i] == "JJ" and prv == "DT" and (
+            nxt == "TO" or (w in _ORDINAL_JJ
+                            and nxt not in _NP_INNER + ("NNS", "NNPS"))
+        ):
+            # nominal reading: "the right to install", "by the fifth."
+            tags[i], lemmas[i] = "NN", w
+            continue
+        if tags[i] == "JJ" and w in _TEMPORAL_JJ and i > 0 \
+                and nxt in (".", ",", "!", "?", ";", ":") \
+                and prv not in ("DT", "PRP$", "JJ", "CD"):
+            # clause-final frequency adverbial ("record the retreat weekly")
+            tags[i], lemmas[i] = "RB", w
+            continue
+        if tags[i] == "VBG" and lemmas[i] != "be" and not _aux_before(i):
+            # nominal gerund contexts (CoreNLP tags these NN):
+            #   sentence-initial before the finite verb ("Closing occurred")
+            #   after IN/DT/PRP$/JJ/noun with no NP following ("in writing",
+            #   "their filing", "a public hearing", "aerosol sampling")
+            #   compound head position for the closed list ("training
+            #   sessions", "parking passes")
+            if (i == 0 and nxt in ("VBZ", "VBD", "VBP", "MD", "RB", "IN")) \
+               or (prv in ("IN", "DT", "PRP$", "JJ") + _NOUNISH
+                   and nxt in ("IN", "RB", "VBZ", "VBD", "VBP", "MD",
+                               "POS", ".", ",", "!", "?", ";", ":")) \
+               or ((i == 0 or prv in _NOUNISH) and nxt in _NOUNISH
+                   and w in _NOMINAL_GERUNDS):
+                tags[i] = "NN"
+                lemmas[i] = w
+                continue
+        if tags[i] in ("NN", "NNS") and prv == "PRP" and (
+            i < 2 or not (tags[i - 2].startswith("VB")
+                          or tags[i - 2] in ("MD", "TO"))
+        ) and nxt in ("PRP", "DT", "PRP$", "CD", "JJ") + _NOUNISH:
+            # noun-default word as the verb of a pronoun subject
+            # ("I water it", "we report agreement"); the i-2 guard keeps
+            # double-object frames intact ("give me coffee")
+            tags[i] = "VBZ" if tags[i] == "NNS" else "VBP"
+            continue
+        if tags[i] == "VBZ" and i == 0 and nxt == "IN":
+            # sentence-initial plural noun misread as 3sg verb
+            # ("Returns from your region ... complete faster")
+            tags[i] = "NNS"
+            continue
+        if w == "once" and tags[i] == "IN" and not any(
+            _is_verb(tags[j]) for j in range(i + 1, n)
+        ):
+            # frequency adverb, not subordinator ("once a month")
+            tags[i], lemmas[i] = "RB", w
+            continue
+        if w == "forward" and tags[i] == "RB" and _aux_before(i) \
+                and nxt in ("DT", "PRP$", "PRP"):
+            # verb reading after a modal ("I will forward the details")
+            tags[i], lemmas[i] = "VB", w
+            continue
+        if tags[i] in ("NN", "NNS") and prv in _NOUNISH \
+                and nxt in ("DT", "PRP$", "PRP") and i + 1 < n:
+            # noun-default word as the verb of a noun subject
+            # ("Farmers watch the forecast", "The mural depicts the town")
+            tags[i] = "VBZ" if tags[i] == "NNS" else "VBP"
+            continue
+        if tags[i] == "NN" and i == 0 and nxt in ("DT", "PRP$") \
+                and not any(_is_verb(t) for t in tags[1:]):
+            # otherwise-verbless sentence opening with a noun-default word
+            # before an NP is an imperative ("Report any damaged equipment")
+            tags[i], lemmas[i] = "VB", w
+            continue
         if w == "her":
             nxt = tags[i + 1] if i + 1 < n else "."
             if nxt not in _NP_INNER:
@@ -133,12 +243,17 @@ def _retag(tokens, tags, lemmas):
             if tags[i] == "VBD" and j >= 0 and lemmas[j] in ("be", "have") \
                     and tags[j].startswith("VB"):
                 tags[i] = "VBN"
-            elif (i == 0 or tags[i - 1] in ("DT", "PRP$", "CD", "JJ")
+            elif (i == 0 or tags[i - 1] in ("DT", "PRP$", "CD", "JJ", "IN")
                   or (tags[i] != "VBN" and tags[i - 1] in ("VBZ", "VBP"))) \
                     and i + 1 < n and (tags[i + 1] in _NOUNISH
-                                       or tags[i + 1] == "VBZ"):
+                                       or tags[i + 1] == "VBZ"
+                                       or (tags[i + 1] == "VBG" and i + 2 < n
+                                           and tags[i + 2] in _NOUNISH)
+                                       or (i == 0 and tags[i + 1]
+                                           in ("VB", "VBP"))):
                 # attributive participle opening an NP chunk ("a restored
-                # mural", "Denied calls return...") -> adjective reading
+                # mural", "of staggered planting dates", "Double-sided
+                # tape worked") -> adjective reading
                 tags[i] = "JJ"
         elif tags[i] == "VBZ" and lemmas[i] not in ("be", "have", "do") \
                 and i + 1 < n and tags[i + 1] in ("MD", "VB", "VBP", "VBZ"):
@@ -153,7 +268,11 @@ def _retag(tokens, tags, lemmas):
             tags[i], lemmas[i] = "NN", w
         elif tags[i] in ("VB", "VBP", "VBZ") and i > 0 and tags[i - 1] in (
             "DT", "PRP$", "JJ", "CD"
-        ) and lemmas[i] not in ("be", "have", "do"):
+        ) and lemmas[i] not in ("be", "have", "do") and not (
+            tags[i] == "VBZ"
+            and tokens[i - 1].lower() in ("this", "that", "these", "those")
+            and (i + 1 >= n or tags[i + 1] not in _NP_INNER)
+        ):
             # noun/verb-ambiguous word inside an NP chunk ("the test",
             # "a review", "the reports") -> noun reading
             if tags[i] == "VBZ":

@@ -27,7 +27,7 @@ from pathlib import Path
 
 STAGE_DIR = os.environ.get("ASER_ORACLE_STAGE_DIR", "/tmp/aser_spark_oracle")
 # bump when the staged layout or the generator/kernel semantics change
-STAGE_VERSION = 15  # r5: held-out grammar growth (lexicon + retag + NP/clause fixes)
+STAGE_VERSION = 16  # r6: corpus-#2 grammar growth (gerund/possessive/ordinal retags)
 
 _INSTANCE_COLS = [
     ("kind", "string"), ("conv_id", "string"), ("turn_idx", "int32"),
@@ -112,26 +112,29 @@ def _coverage_rows(n_convs: int, seed: int) -> list:
     return out
 
 
-def heldout_paragraph_rows() -> list:
-    """(conv_id, turn_idx, text) rows from the frozen held-out prose
-    corpus (fixtures/heldout_prose.jsonl, committed before any coverage
-    measurement) — the shared input for both the Spark
-    ``parse_coverage_heldout`` query and its staged oracle."""
-    fixture = Path(__file__).resolve().parent.parent / "fixtures" / "heldout_prose.jsonl"
+def heldout_paragraph_rows(corpus: str = "heldout_prose") -> list:
+    """(conv_id, turn_idx, text) rows from a frozen held-out prose corpus
+    (fixtures/<corpus>.jsonl, committed before any coverage measurement) —
+    the shared input for both the Spark ``parse_coverage_heldout*``
+    queries and their staged oracles.  ``heldout_prose`` is the r5 corpus
+    (110 paragraphs, 12 registers); ``heldout_prose2`` the r6 one (104
+    paragraphs, 8 further unseen registers)."""
+    fixture = Path(__file__).resolve().parent.parent / "fixtures" / f"{corpus}.jsonl"
+    prefix = "heldout" if corpus == "heldout_prose" else "heldout2"
     rows = []
     with open(fixture) as f:
         for i, line in enumerate(f):
             for t, text in enumerate(json.loads(line)["doc_texts"]):
-                rows.append((f"heldout-{i:04d}", t, text))
+                rows.append((f"{prefix}-{i:04d}", t, text))
     return rows
 
 
-def _coverage_rows_heldout() -> list:
+def _coverage_rows_heldout(corpus: str = "heldout_prose") -> list:
     from .pipeline.extract import _sentence_cache, turn_coverage_rows
 
     memo = _sentence_cache("seed")
     out = []
-    for conv_id, turn_idx, text in heldout_paragraph_rows():
+    for conv_id, turn_idx, text in heldout_paragraph_rows(corpus):
         out.extend(turn_coverage_rows(conv_id, turn_idx, text, memo))
     return out
 
@@ -156,7 +159,7 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
     paths = {k: base / f"{k}.parquet"
              for k in ("instances", "instances_discourse", "probase", "kb",
                        "media", "concepts_exact", "parse_coverage",
-                       "parse_coverage_heldout")}
+                       "parse_coverage_heldout", "parse_coverage_heldout2")}
     marker = base / "MARKER.json"
     want = {"version": STAGE_VERSION, "n_convs": n_convs, "seed": seed,
             "n_media": n_media}
@@ -191,6 +194,12 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
                     ("pos_tags", "string"), ("n_eventualities", "int32"),
                     ("covered", "bool_")])
     _write_parquet(paths["parse_coverage_heldout"], _coverage_rows_heldout(),
+                   [("conv_id", "string"), ("turn_idx", "int32"),
+                    ("sent_idx", "int32"), ("n_tokens", "int32"),
+                    ("pos_tags", "string"), ("n_eventualities", "int32"),
+                    ("covered", "bool_")])
+    _write_parquet(paths["parse_coverage_heldout2"],
+                   _coverage_rows_heldout("heldout_prose2"),
                    [("conv_id", "string"), ("turn_idx", "int32"),
                     ("sent_idx", "int32"), ("n_tokens", "int32"),
                     ("pos_tags", "string"), ("n_eventualities", "int32"),

@@ -17,12 +17,23 @@ import pytest
 FIXTURES = Path(__file__).resolve().parent.parent / "fixtures"
 
 
+# strict-coverage / parse-rate floors established per corpus by
+# scripts/validate_heldout.py (reference-on-our-parse); ratchet-only.
+_FLOORS = {"heldout_prose": (0.82, 0.99), "heldout_prose2": (0.85, 0.99)}
+
+
+@pytest.fixture(scope="module", params=sorted(_FLOORS))
+def corpus(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def paragraphs():
+def paragraphs(corpus):
+    prefix = "heldout" if corpus == "heldout_prose" else "heldout2"
     out = []
-    with open(FIXTURES / "heldout_prose.jsonl") as f:
+    with open(FIXTURES / f"{corpus}.jsonl") as f:
         for i, line in enumerate(f):
-            out.append((f"heldout-{i}", json.loads(line)["doc_texts"]))
+            out.append((f"{prefix}-{i}", json.loads(line)["doc_texts"]))
     assert len(out) >= 100
     return out
 
@@ -45,7 +56,7 @@ def test_heldout_no_crash_and_row_invariants(paragraphs, mode):
     eids = set()
     for r in nodes:
         kind, conv_id, turn_idx, sent_idx, eid, pattern, words = r[:7]
-        assert conv_id.startswith("heldout-")
+        assert conv_id.startswith("heldout")
         assert turn_idx >= 0 and sent_idx >= 0
         assert len(eid) == 40 and all(c in "0123456789abcdef" for c in eid)
         assert pattern and words
@@ -95,7 +106,7 @@ def test_pair_memo_rows_identical(paragraphs):
     assert off == on_cold == on_warm
 
 
-def test_heldout_coverage_floor(paragraphs):
+def test_heldout_coverage_floor(corpus, paragraphs):
     """Strict eventuality coverage over in-policy sentences; the taxonomy
     of the zeros (imperative no-subject vs reference rule-veto) is
     established by scripts/validate_heldout.py with the reference itself
@@ -119,6 +130,7 @@ def test_heldout_coverage_floor(paragraphs):
                 if any(p["pos_tags"][g].startswith("VB") or lab == "cop"
                        for g, lab, _ in p["dependencies"]):
                     n_parse_ok += 1
-    assert n_in_policy > 400
-    assert n_cov / n_in_policy >= 0.80, (n_cov, n_in_policy)
-    assert n_parse_ok / n_in_policy >= 0.99, (n_parse_ok, n_in_policy)
+    cov_floor, parse_floor = _FLOORS[corpus]
+    assert n_in_policy > 390
+    assert n_cov / n_in_policy >= cov_floor, (n_cov, n_in_policy)
+    assert n_parse_ok / n_in_policy >= parse_floor, (n_parse_ok, n_in_policy)

@@ -958,7 +958,8 @@ def set_pair_memo(on: bool) -> None:
 def extract_paragraph_relations_discourse(sentences, para_eventualities,
                                           syntax_trees=None,
                                           method: str = "Simpson",
-                                          threshold: float = 0.8):
+                                          threshold: float = 0.8,
+                                          window=None):
     """The full DiscourseRelationExtractor pipeline
     (relation_extractor.py:361-466) over one paragraph/conversation:
 
@@ -979,22 +980,30 @@ def extract_paragraph_relations_discourse(sentences, para_eventualities,
     models = load_discourse_models()
     if syntax_trees is None:
         syntax_trees = [None] * len(sentences)
+    # window bounds EMISSION by anchor sentence (Co_Occurrence + the
+    # connective pass are both anchored at one sentence i) while the full
+    # lists still provide the cross-sentence context the featurizers read
+    # (prev sentence, 10-raw-token flanks, 1-token neighbor) — the
+    # giant-conversation split's boundary-carry contract.
+    start, stop = window if window else (0, len(sentences))
     rows = []
     filtered = []
-    for sent, evs in zip(sentences, para_eventualities):
+    for j, (sent, evs) in enumerate(zip(sentences, para_eventualities)):
         if evs:
             filtered.append(sent)
-            for head in evs:
-                for tail in evs:
-                    if head["position"] < tail["position"]:
-                        rows.append((head["eid"], tail["eid"],
-                                     "Co_Occurrence", 1.0))
+            if start <= j < stop:
+                for head in evs:
+                    for tail in evs:
+                        if head["position"] < tail["position"]:
+                            rows.append((head["eid"], tail["eid"],
+                                         "Co_Occurrence", 1.0))
         else:
             filtered.append(EMPTY_SENT_PARSED)
 
     # dep-method reads raw parses; ASER_PAIR_MEMO=0 is the A/B control
     memoizable = _PAIR_MEMO_ON and method.lower() != "discourse"
-    for i, sp in enumerate(filtered):
+    for i in range(start, stop):
+        sp = filtered[i]
         if not sp["tokens"]:
             continue
         # candidate scan is a pure function of the token list; Zipf-hot

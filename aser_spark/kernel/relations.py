@@ -132,7 +132,7 @@ def senses_adjacent_sentences(head, tail, s1_tokens, s2_tokens):
     return senses
 
 
-def extract_paragraph_relations(sentences, para_eventualities):
+def extract_paragraph_relations(sentences, para_eventualities, window=None):
     """Relation instances for one paragraph (= one conversation window).
 
     ``sentences``: list of dicts with at least tokens + dependencies;
@@ -140,9 +140,19 @@ def extract_paragraph_relations(sentences, para_eventualities):
     lists (position-ordered).  Returns flat instance rows
     (hid, tid, sense, weight=1.0) — aggregation into weighted edges happens
     downstream in Spark (groupBy hid,tid,sense).
+
+    ``window=(start, stop)`` bounds EMISSION by anchor sentence index while
+    the full list still provides context: a same-sentence pair is anchored
+    at its sentence, an adjacent-sentence pair at the LATER sentence.  The
+    giant-conversation split (pipeline/extract.py) uses this so each chunk
+    emits exactly the relations it owns — a boundary pair (i, i+1) is
+    owned by the chunk whose core contains i+1, which always carries
+    sentence i as prefix context.
     """
+    start, stop = window if window else (0, len(sentences))
     rows = []
-    for sent, evs in zip(sentences, para_eventualities):
+    for i in range(start, stop):
+        sent, evs = sentences[i], para_eventualities[i]
         tokens = sent["tokens"]
         deps = [tuple(e) for e in sent["dependencies"]]
         for head in evs:
@@ -152,7 +162,7 @@ def extract_paragraph_relations(sentences, para_eventualities):
                 for sense in senses_same_sentence(head, tail, tokens, deps):
                     rows.append((head["eid"], tail["eid"], sense, 1.0))
 
-    for i in range(len(sentences) - 1):
+    for i in range(max(start - 1, 0), min(stop - 1, len(sentences) - 1)):
         evs1, evs2 = para_eventualities[i], para_eventualities[i + 1]
         if len(evs1) == 1 and len(evs2) == 1:
             head, tail = evs1[0], evs2[0]

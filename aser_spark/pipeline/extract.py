@@ -144,7 +144,7 @@ def extract_eventualities(parsed):
     return parsed.mapInPandas(run, schema=EVENTUALITY_INSTANCE_SCHEMA)
 
 
-def _conversation_stream(batches, columns):
+def _conversation_stream(batches, columns, key_col="conv_id"):
     """Group sorted Arrow batches into per-conversation row lists, carrying
     the boundary conversation across batch edges.
 
@@ -158,7 +158,7 @@ def _conversation_stream(batches, columns):
         n = len(pdf)
         if n == 0:
             continue
-        ids = pdf["conv_id"].to_numpy()
+        ids = pdf[key_col].to_numpy()
         arrs = [pdf[c].tolist() for c in columns]
         change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
         bounds = [0, *change.tolist(), n]
@@ -266,9 +266,19 @@ def extract_relations(parsed, num_partitions=None):
     )
 
 
-def conversation_instance_rows(conv_id, turns, memo=None, mode="seed"):
+def conversation_instance_rows(conv_id, turns, memo=None, mode="seed",
+                               emit_turns=None):
     """Pure per-conversation kernel: ``turns`` = (turn_idx, text) pairs in
     turn order -> INSTANCE_SCHEMA tuples (node + edge rows).
+
+    ``emit_turns=(lo, hi)`` restricts emission to rows anchored at turns in
+    ``lo <= turn_idx < hi`` while the surrounding turns still provide
+    context (neighbor tokens, prev-sentence arguments, 10-raw-token
+    flanks).  This is the giant-conversation split contract: a chunk
+    receives its core turns plus a few carried context turns on each side,
+    computes over the whole window, and emits only what it owns — node
+    rows by turn, relation rows by the kernel's per-sentence anchor
+    (kernel/relations.py + kernel/discourse.py ``window=``).
 
     This is the single source of truth for the fused extraction semantics:
     the Spark ``mapInPandas`` stage below streams conversations through it,
@@ -314,7 +324,13 @@ def conversation_instance_rows(conv_id, turns, memo=None, mode="seed"):
                 para_evs.append(res[1])
                 trees.append(res[2] if len(res) > 2 else None)
                 keys.append((int(turn_idx), sent_idx))
-    for (turn_idx, sent_idx), evs in zip(keys, para_evs):
+    if emit_turns is None:
+        s_lo, s_hi = 0, len(keys)
+    else:
+        lo, hi = emit_turns
+        s_lo = next((k for k, (t, _) in enumerate(keys) if t >= lo), len(keys))
+        s_hi = next((k for k, (t, _) in enumerate(keys) if t >= hi), len(keys))
+    for (turn_idx, sent_idx), evs in zip(keys[s_lo:s_hi], para_evs[s_lo:s_hi]):
         for e in evs:
             w = e["words"]
             out.append((
@@ -326,13 +342,14 @@ def conversation_instance_rows(conv_id, turns, memo=None, mode="seed"):
                 None, None, None, None,
                 " ".join(e.get("ners") or ["O"] * len(w)),
             ))
+    win = None if emit_turns is None else (s_lo, s_hi)
     if mode == "discourse":
         from ..kernel.discourse import extract_paragraph_relations_discourse
 
         rel_rows = extract_paragraph_relations_discourse(
-            sentences, para_evs, trees)
+            sentences, para_evs, trees, window=win)
     else:
-        rel_rows = extract_paragraph_relations(sentences, para_evs)
+        rel_rows = extract_paragraph_relations(sentences, para_evs, window=win)
     for hid, tid, sense, wt in rel_rows:
         out.append((
             "edge", conv_id, None, None, None, None, None, None,
@@ -342,7 +359,7 @@ def conversation_instance_rows(conv_id, turns, memo=None, mode="seed"):
 
 
 def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
-                            mode="seed"):
+                            mode="seed", max_turns=None, context_turns=2):
     """Fused flagship pass: transcripts -> unified node+edge instance rows.
 
     One shuffle (repartition by conv_id), one parse per turn, kernel
@@ -357,12 +374,33 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
     (conv_id, turn_idx)`` gives every scan for free (and what the built-in
     generator emits).  The whole pipeline is then shuffle-free up to the
     final aggregations.
+
+    ``max_turns`` is the skew guard for untrusted corpora: keyed by
+    conv_id alone, a pathological million-turn conversation is ONE task.
+    With ``max_turns=m`` each conversation is split into turn-range chunks
+    ``chunk = turn_idx div m`` and the exchange keys on (conv_id, chunk),
+    so per-task work is bounded by ``m + 2*context_turns`` turns no matter
+    the conversation length.  Each chunk also receives COPIES of the last
+    ``context_turns`` turns of the previous chunk and the first
+    ``context_turns`` of the next (one extra exchange row per boundary
+    turn — no extra shuffle stage), and the kernel computes over the whole
+    window but emits only rows anchored in the core range
+    (``conversation_instance_rows(emit_turns=...)``), so a split
+    conversation yields byte-identical rows.  Exactness needs the carried
+    context to cover what the kernel actually reads across a boundary —
+    seed mode: the previous sentence; discourse mode: the previous
+    sentence, 1-token neighbors, and 10-raw-token flanks — which
+    ``context_turns=2`` covers whenever two adjacent turns jointly contain
+    >=2 sentences and >=10 tokens + the boundary sentence (any realistic
+    transcript; raise it for corpora of one-word turns).
     """
     import pandas as pd
 
+    from pyspark.sql import functions as F
+
     cols = ["turn_idx", "text"]
 
-    def run(batches):
+    def run_whole(batches):
         _freeze_longlived()
         memo = _sentence_cache(mode)
         out = []
@@ -374,8 +412,48 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
         yield _frame(out, _INST_COLS)
 
     narrow = transcripts.select("conv_id", "turn_idx", "text")
-    grouped = narrow if pre_grouped else _group_by_conv(narrow, num_partitions)
-    return grouped.mapInPandas(run, schema=INSTANCE_SCHEMA)
+    if max_turns is None:
+        grouped = narrow if pre_grouped else _group_by_conv(narrow, num_partitions)
+        return grouped.mapInPandas(run_whole, schema=INSTANCE_SCHEMA)
+
+    m, k = int(max_turns), int(context_turns)
+    if m <= 0 or k < 0 or k >= m:
+        raise ValueError(f"need max_turns > context_turns >= 0, got {m}, {k}")
+
+    def run_chunks(batches):
+        _freeze_longlived()
+        memo = _sentence_cache(mode)
+        out = []
+        for gkey, rows in _conversation_stream(batches, cols, key_col="gkey"):
+            conv_id, _, chunk = gkey.rpartition("\x00")
+            lo = int(chunk) * m
+            out.extend(conversation_instance_rows(
+                conv_id, rows, memo, mode, emit_turns=(lo, lo + m)))
+            if len(out) >= 16384:
+                yield _frame(out, _INST_COLS)
+                out = []
+        yield _frame(out, _INST_COLS)
+
+    chunk = (F.col("turn_idx") / m).cast("long")
+    pos = F.col("turn_idx") % m
+    # one row per (target chunk) a turn participates in: its own, plus
+    # context copies into the neighboring chunks near a boundary
+    targets = F.array_compact(F.array(
+        F.struct(chunk.alias("c")),
+        F.when(pos >= m - k, F.struct((chunk + 1).alias("c"))),
+        F.when((pos < k) & (chunk > 0), F.struct((chunk - 1).alias("c"))),
+    ))
+    exploded = (narrow
+                .withColumn("_t", F.explode(targets))
+                .withColumn("gkey", F.concat_ws("\x00", F.col("conv_id"),
+                                                F.col("_t.c").cast("string")))
+                .select("gkey", "conv_id", "turn_idx", "text"))
+    if num_partitions is None:
+        sc = narrow.sparkSession.sparkContext
+        num_partitions = max(sc.defaultParallelism, 8)
+    grouped = (exploded.repartition(num_partitions, "gkey")
+               .sortWithinPartitions("gkey", "turn_idx"))
+    return grouped.mapInPandas(run_chunks, schema=INSTANCE_SCHEMA)
 
 
 COVERAGE_SCHEMA = ("conv_id string, turn_idx int, sent_idx int, "

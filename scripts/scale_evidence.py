@@ -308,6 +308,40 @@ def bench_export():
     spark.stop()
 
 
+def bench_giant_conv():
+    """Giant-conversation skew guard: one pathological conversation of N
+    turns (plus a normal tail of small conversations) extracted at
+    local[8], unsplit (keyed conv_id — the giant is ONE task) vs
+    max_turns=64 chunks.  Records wall both ways; the split's win is the
+    parallelism the unsplit plan structurally cannot have.  Identity of
+    the outputs is pinned by tests/test_skew_split.py; this measures."""
+    from aser_spark.config import get_spark
+    from aser_spark.datagen import transcripts_df
+    from aser_spark.pipeline.extract import extract_graph_instances
+
+    n_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+    spark = get_spark(app="giant-conv", cpus=8, shuffle_partitions=8)
+    texts = [f"the worker finishes task {i} and the reviewer checks the "
+             f"result before the deadline." for i in range(n_turns)]
+    giant = spark.createDataFrame(
+        [("giant-0", i, t) for i, t in enumerate(texts)],
+        "conv_id string, turn_idx int, text string")
+    tail = transcripts_df(spark, 64, seed=11).select(
+        "conv_id", "turn_idx", "text")
+    src = giant.unionByName(tail).persist()
+    src.count()
+
+    out = {}
+    for label, kw in (("unsplit", {}), ("split_64", {"max_turns": 64})):
+        out[label + "_sec"] = _best_of(
+            lambda kw=kw: extract_graph_instances(src, **kw)
+            .write.format("noop").mode("overwrite").save(), n=2)
+    out["speedup"] = round(out["unsplit_sec"] / out["split_64_sec"], 2)
+    print(json.dumps({"metric": "giant_conv_skew_guard", "n_turns": n_turns,
+                      "cpus": 8, **out}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     {"skew": bench_skew, "skew_tasks": bench_skew_tasks, "cc": bench_cc,
-     "export": bench_export}[sys.argv[1]]()
+     "export": bench_export, "giant_conv": bench_giant_conv}[sys.argv[1]]()

@@ -39,10 +39,14 @@ def _seed_db(path: str, n: int = 1000) -> list:
     return [f"e{i}" for i in range(n)]
 
 
-def main():
-    n_calls = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    n_clients = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-
+def run_bench(n_calls: int = 2000, n_clients: int = 4) -> dict:
+    """Drive the daemon's API surface over a client pool and return
+    calls/s + ms/call per API.  The headline trio mirrors the reference
+    harness verbatim (benchmark.py:44-58): extract_eventualities in
+    sent/s, predict_relation in pair/s, fetch_related_eventualities in
+    event/s — same call pattern (each worker = one persistent client
+    looping its share of the 10k calls), ours over threads+TCP instead
+    of fork+zmq."""
     from aser_spark.serving_net import ASERServingClient, ASERServingServer
 
     db = tempfile.mktemp(suffix=".db")
@@ -55,16 +59,26 @@ def main():
     with ASERServingServer(db_path=db) as srv:
         host, port = srv.address
 
+        calls = {
+            "exact_match_eventuality":
+                lambda cli, i: cli.exact_match_eventuality(eids[i % len(eids)]),
+            "extract_eventualities":
+                lambda cli, i: cli.extract_eventualities(texts[i % len(texts)]),
+            "parse_text":
+                lambda cli, i: cli.parse_text(texts[i % len(texts)]),
+            "predict_relation":
+                lambda cli, i: cli.predict_eventuality_relation(
+                    eids[i % (len(eids) - 1)], eids[i % (len(eids) - 1) + 1]),
+            "fetch_related_eventualities":
+                lambda cli, i: cli.fetch_related_eventualities(
+                    eids[i % len(eids)]),
+        }
+
         def drive(api):
             def worker(k):
                 with ASERServingClient(host, port) as cli:
                     for i in range(k):
-                        if api == "exact_match_eventuality":
-                            cli.exact_match_eventuality(eids[i % len(eids)])
-                        elif api == "extract_eventualities":
-                            cli.extract_eventualities(texts[i % len(texts)])
-                        else:
-                            cli.parse_text(texts[i % len(texts)])
+                        calls[api](cli, i)
 
             per = n_calls // n_clients
             t0 = time.time()
@@ -73,13 +87,18 @@ def main():
             dt = time.time() - t0
             return round(per * n_clients / dt, 1), round(1000 * dt / (per * n_clients), 3)
 
-        for api in ("exact_match_eventuality", "extract_eventualities",
-                    "parse_text"):
+        for api in calls:
             cps, ms = drive(api)
             out[f"{api}_calls_per_sec"] = cps
             out[f"{api}_ms_per_call"] = ms
     Path(db).unlink(missing_ok=True)
-    print(json.dumps(out))
+    return out
+
+
+def main():
+    n_calls = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    n_clients = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    print(json.dumps(run_bench(n_calls, n_clients)))
 
 
 if __name__ == "__main__":

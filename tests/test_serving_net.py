@@ -166,3 +166,22 @@ def test_malformed_lines_and_blob_info_get_replies(spark, tmp_path):
                  "arg": "e1"}).encode() + b"\n")
             good = json.loads(f.readline())
             assert good["ok"] is True and good["data"]["_id"] == "e1"
+
+
+def test_serving_bench_harness_smoke():
+    """The BENCH/SERVING.md harness must run end-to-end: all five APIs
+    driven over a client pool, positive throughput for each."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "serving_bench",
+        Path(__file__).resolve().parent.parent / "scripts" / "serving_bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.run_bench(n_calls=40, n_clients=2)
+    for api in ("exact_match_eventuality", "extract_eventualities",
+                "parse_text", "predict_relation",
+                "fetch_related_eventualities"):
+        assert out[f"{api}_calls_per_sec"] > 0
+        assert out[f"{api}_ms_per_call"] > 0

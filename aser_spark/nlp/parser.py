@@ -635,47 +635,82 @@ def _parse_vp_mods_only(head, seq, tags, lemmas, deps):
         k += 1
 
 
-def _constituency(clauses, tokens, tags):
-    """PTB-style bracket string from the clause structure: every token is a
-    leaf in original order (leaf index == token index — the SyntaxTree
-    contract), subordinate clauses wrapped in SBAR with their IN marker.
-    Clause-internal structure stays flat preterminals; only the clause /
-    SBAR skeleton matters to get_clauses (kernel/clauses.py)."""
-    def pre(i):
-        return f"({tags[i]} {tokens[i]})"
+def _constituency_root(clauses, tokens, tags):
+    """Constituency tree from the clause structure, built as SyntaxNodes
+    DIRECTLY (the bracket string is rendered from these nodes by
+    ``_render_ptb``, so string and tree can never diverge and the
+    discourse hot path skips the string->tokenize->parse round-trip).
+    Every token is a leaf in original order (leaf index == token index —
+    the SyntaxTree contract), subordinate clauses wrapped in SBAR with
+    their IN marker.  Clause-internal structure stays flat preterminals;
+    only the clause / SBAR skeleton matters to get_clauses
+    (kernel/clauses.py).  Safe for arbitrary text because ``tokenize``
+    strips '(' / ')' characters — a token can never corrupt a rendered
+    bracket string."""
+    from .syntax import SyntaxNode
 
-    parts = []
+    def pre(i, parent):
+        node = SyntaxNode(tags[i], parent)
+        parent.children.append(node)
+        leaf = SyntaxNode(tokens[i], node)
+        node.children.append(leaf)
+
+    root = SyntaxNode("ROOT")
+    s = SyntaxNode("S", root)
+    root.children.append(s)
     cursor = 0
 
     def flush_upto(limit, into):
         nonlocal cursor
         while cursor < limit:
-            into.append(pre(cursor))
+            pre(cursor, into)
             cursor += 1
 
+    any_part = False
     for marker, kind, idxs in clauses:
         if not idxs:
             continue
+        any_part = True
         start = marker if marker is not None else idxs[0]
-        flush_upto(start, parts)
+        flush_upto(start, s)
         if marker is not None:
             cursor = marker + 1
-        body: list = []
-        flush_upto(idxs[-1] + 1, body)
-        clause_s = "(S " + " ".join(body) + ")"
         if kind == "sub" and marker is not None:
-            parts.append(f"(SBAR {pre(marker)} {clause_s})")
+            sbar = SyntaxNode("SBAR", s)
+            s.children.append(sbar)
+            pre(marker, sbar)
+            clause = SyntaxNode("S", sbar)
+            sbar.children.append(clause)
         elif kind == "cc" and marker is not None:
-            parts.append(pre(marker))
-            parts.append(clause_s)
+            pre(marker, s)
+            clause = SyntaxNode("S", s)
+            s.children.append(clause)
         else:
-            parts.append(clause_s)
-    flush_upto(len(tokens), parts)
-    return "(ROOT (S " + " ".join(parts) + "))" if parts else "()"
+            clause = SyntaxNode("S", s)
+            s.children.append(clause)
+        flush_upto(idxs[-1] + 1, clause)
+    any_part = any_part or cursor < len(tokens)
+    flush_upto(len(tokens), s)
+    return root if any_part else None
 
 
-def parse_sentence(sentence: str):
-    """Parse one sentence into the reference parsed_result dict shape."""
+def _render_ptb(node):
+    """Bracket string for a node tree in the exact format the old string
+    builder emitted: ``(LABEL child child)``, leaves bare."""
+    if node is None:
+        return "()"
+    if not node.children:
+        return node.name
+    return "(" + node.name + " " + " ".join(
+        _render_ptb(c) for c in node.children) + ")"
+
+
+def parse_sentence(sentence: str, with_tree: bool = False):
+    """Parse one sentence into the reference parsed_result dict shape.
+    ``with_tree=True`` additionally returns the constituency root node
+    (the same structure the ``parse`` string is rendered from) as a
+    second value, letting the discourse memo build its SyntaxTree without
+    re-parsing the bracket string."""
     tokens = tokenize(sentence)
     tagged = [
         ("NNP", t) if t[:1].isupper() and t.lower() in NER_GAZETTEER
@@ -745,16 +780,18 @@ def parse_sentence(sentence: str):
 
     uniq = sorted(set(deps), key=lambda e: (e[0], e[2]))
     ners, mentions = _ner_spans(tokens, tags)
-    return {
+    tree_root = _constituency_root(clauses, tokens, tags)
+    parsed = {
         "text": sentence,
         "tokens": tokens,
         "lemmas": lemmas,
         "pos_tags": tags,
         "ners": ners,
         "mentions": mentions,
-        "parse": _constituency(clauses, tokens, tags),
+        "parse": _render_ptb(tree_root),
         "dependencies": [e for e in uniq if e[0] != e[2]],
     }
+    return (parsed, tree_root) if with_tree else parsed
 
 
 def parse_text(text: str):

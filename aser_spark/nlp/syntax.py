@@ -96,6 +96,19 @@ class SyntaxTree:
         for idx, leaf in enumerate(self.leaves):
             leaf.index = idx
 
+    @classmethod
+    def from_root(cls, root: "SyntaxNode | None") -> "SyntaxTree":
+        """Wrap an already-built node structure (the parser constructs
+        nodes directly and renders the bracket string FROM them, so the
+        two can never diverge) — skips the string round-trip on the
+        discourse hot path."""
+        self = cls.__new__(cls)
+        self.tree = root
+        self.leaves = root.get_leaves() if root is not None else []
+        for idx, leaf in enumerate(self.leaves):
+            leaf.index = idx
+        return self
+
     @staticmethod
     def _parse(s: str):
         toks = _tokenize_ptb(s)

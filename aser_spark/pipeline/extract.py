@@ -62,8 +62,8 @@ def _sentence_cache(mode: str = "seed"):
 
             @lru_cache(maxsize=16384)
             def parse_one(sentence: str):
-                p = parse_sentence(sentence)
-                return p, SyntaxTree(p["parse"])
+                p, root = parse_sentence(sentence, with_tree=True)
+                return p, SyntaxTree.from_root(root)
 
             # two-level memo: ctx = (token, pos_tag) adjacent to this
             # sentence in the conversation (or None at the edges) is the

@@ -131,3 +131,41 @@ def test_bare_temporal_np_is_tmod():
     d = p["dependencies"]
     assert (1, "nmod:tmod", 3) in d
     assert not any(lab == "dobj" for _, lab, _ in d)
+
+
+def test_constituency_tree_matches_rendered_string():
+    """parse_sentence(with_tree=True) returns nodes the `parse` string is
+    rendered FROM; parsing that string back must give the identical
+    structure (the discourse memo consumes the nodes directly)."""
+    import itertools
+    import json
+    from pathlib import Path
+
+    from aser_spark.nlp import split_sentences
+    from aser_spark.nlp.parser import parse_sentence
+    from aser_spark.nlp.syntax import SyntaxTree
+
+    def shape(t):
+        if t.tree is None:
+            return None
+        out = []
+        stack = [(t.tree, 0)]
+        while stack:
+            n, d = stack.pop()
+            out.append((d, n.name, n.index, len(n.children)))
+            stack.extend((c, d + 1) for c in reversed(n.children))
+        return out
+
+    fixtures = Path(__file__).resolve().parent.parent / "fixtures"
+    texts = []
+    with open(fixtures / "heldout_prose.jsonl") as f:
+        for line in itertools.islice(f, 30):
+            texts.extend(json.loads(line)["doc_texts"])
+    n = 0
+    for text in texts:
+        for s in split_sentences(text):
+            p, root = parse_sentence(s, with_tree=True)
+            assert shape(SyntaxTree(p["parse"])) == shape(
+                SyntaxTree.from_root(root)), s
+            n += 1
+    assert n > 100

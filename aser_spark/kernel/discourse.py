@@ -319,11 +319,11 @@ def constituent_candidates(indices, syntax_tree):
         conn_node = syntax_tree.get_leaf_node_by_token_index(indices[0]).up
     else:
         conn_node = syntax_tree.get_common_ancestor_by_token_indices(indices)
-        conn_leaves = {id(syntax_tree.get_leaf_node_by_token_index(i))
-                       for i in indices}
+        # leaf identity within one tree <=> token index, so the cached
+        # index tuples replace the id()-set walk
+        conn_leaves = set(indices)
         for child in conn_node.get_children():
-            leaves = {id(l) for l in child.get_leaves()}
-            if not (conn_leaves & leaves):
+            if not conn_leaves.intersection(child.leaf_indices()):
                 nodes.append(child)
     curr = conn_node
     while not curr.is_root():
@@ -332,7 +332,7 @@ def constituent_candidates(indices, syntax_tree):
     for node in nodes:
         out.append({
             "node": node,
-            "indices": sorted(leaf.index for leaf in node.get_leaves()),
+            "indices": list(node.leaf_indices()),
         })
     return out
 

@@ -20,13 +20,28 @@ __all__ = ["SyntaxNode", "SyntaxTree"]
 
 
 class SyntaxNode:
-    __slots__ = ("name", "children", "up", "index")
+    __slots__ = ("name", "children", "up", "index", "_leafidx")
 
     def __init__(self, name: str, up: "SyntaxNode | None" = None):
         self.name = name
         self.children: list[SyntaxNode] = []
         self.up = up
         self.index: int | None = None  # token index, leaves only
+        self._leafidx = None  # cached sorted leaf-index tuple (write-once)
+
+    def leaf_indices(self):
+        """Sorted token indices under this node, cached write-once.  Trees
+        are parse-memo residents shared across every occurrence of a
+        sentence, so each node computes this ONCE per unique sentence —
+        D4/D5 walk candidate constituents per connective otherwise
+        re-collecting the same leaf lists.  Only valid after leaf indices
+        are assigned (SyntaxTree init) and the tree is frozen, which holds
+        for all kernel consumers."""
+        cached = self._leafidx
+        if cached is None:
+            cached = self._leafidx = tuple(sorted(
+                n.index for n in self._preorder() if not n.children))
+        return cached
 
     def is_leaf(self) -> bool:
         return not self.children

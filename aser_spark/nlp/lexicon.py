@@ -132,7 +132,10 @@ ADJECTIVES = frozenset(
     "earliest latest oldest newest largest smallest highest lowest "
     "longest shortest strongest weakest biggest greatest fastest slowest "
     "deepest widest thickest thinnest finest true shallow independent "
-    "quarterly compatible present quick".split()
+    "quarterly compatible present quick "
+    # held-out-prose3 growth (r6): OOV adjective the suffix fallback
+    # misread as a noun, breaking the NP chunk ("a gradual return")
+    "gradual".split()
 )
 
 NOUNS = frozenset(
@@ -149,7 +152,10 @@ NOUNS = frozenset(
     "floor roof room bed sofa lamp clock watch shoe shirt coat hat bag box "
     "cup plate knife fork spoon bottle glass bread cheese apple banana "
     "orange cake soup meat fish rice salt sugar milk tea juice beer wine "
-    "mistake chance reason home weekend evening afternoon".split()
+    "mistake chance reason home weekend evening afternoon "
+    # held-out-prose3 growth (r6): -ly nouns the suffix fallback misread
+    # as adverbs, breaking their NP chunk ("a bright family room")
+    "family assembly jelly belly butterfly anomaly monopoly".split()
 )
 
 # verb paradigms: lemma -> (VB, VBZ, VBD, VBN, VBG)
@@ -370,9 +376,16 @@ _REGULAR_VERBS = frozenset(
     "ruin age round record amend dispute admit inform deglaze "
     # held-out-prose3 growth (r6): verbs the third frozen corpus showed
     # falling back to NN ("water rights convey", "evening hours rotate",
-    # "the quilt combines", "they bloom"); collision-guarded as above
-    "convey rotate bloom combine".split()
+    # "the quilt combines", "they bloom", "itches at night");
+    # collision-guarded as above
+    "convey rotate bloom combine itch".split()
 )
+
+# lemmas whose BARE form is overwhelmingly nominal/adjectival in prose
+# ("a funding round", "the third round") — register only the inflected
+# forms ("rounds the acidity", "rounded"); the base form stays out of
+# lookup() and remains available to the last-resort promotion pass
+_NO_BASE_VERBS = frozenset(("round",))
 
 # Finite-verb readings available ONLY to the parser's last-resort
 # promotion pass (_retag): noun-default words ("shop", "coach", "water")
@@ -429,7 +442,11 @@ def _register_verb(forms, lemma):
 for _lemma, _forms in _V2.items():
     _register_verb(_forms, _lemma)
 for _lemma in sorted(_REGULAR_VERBS):
-    _register_verb(_inflect(_lemma), _lemma)
+    _vb, _vbz, _vbd, _vbn, _vbg = _inflect(_lemma)
+    if _lemma in _NO_BASE_VERBS:
+        _register_verb(("\0", _vbz, _vbd, _vbn, _vbg), _lemma)  # no base
+    else:
+        _register_verb((_vb, _vbz, _vbd, _vbn, _vbg), _lemma)
 
 # form -> (tag, lemma) for the last-resort promotion pass: every known
 # verb form INCLUDING the noun-guarded ones (a form like "watch" that

@@ -119,6 +119,7 @@ def _is_verb(tag):
 _NOMINAL_GERUNDS = frozenset((
     "training", "monitoring", "parking", "housing", "clothing",
     "planting", "sampling", "closing", "flooding", "tracking",
+    "funding",
 ))
 _ORDINAL_JJ = frozenset((
     "second", "third", "fourth", "fifth", "sixth", "seventh", "eighth",
@@ -187,7 +188,7 @@ def _retag(tokens, tags, lemmas):
                or (prv in ("IN", "DT", "PRP$", "JJ") + _NOUNISH
                    and nxt in ("IN", "RB", "VBZ", "VBD", "VBP", "MD",
                                "POS", ".", ",", "!", "?", ";", ":")) \
-               or ((i == 0 or prv in _NOUNISH) and nxt in _NOUNISH
+               or ((i == 0 or prv in ("JJ",) + _NOUNISH) and nxt in _NOUNISH
                    and w in _NOMINAL_GERUNDS):
                 tags[i] = "NN"
                 lemmas[i] = w
@@ -239,7 +240,9 @@ def _retag(tokens, tags, lemmas):
             tags[i], lemmas[i] = "VB", w
             continue
         if tags[i] in ("NN", "NNS") and prv in _NOUNISH \
-                and nxt in ("DT", "PRP$", "PRP") and i + 1 < n:
+                and (nxt in ("DT", "PRP$", "PRP")
+                     or (nxt == "TO" and nxt2 in ("VB", "VBP"))) \
+                and i + 1 < n:
             # noun-default word as the verb of a noun subject
             # ("Farmers watch the forecast", "The mural depicts the town")
             tags[i] = "VBZ" if tags[i] == "NNS" else "VBP"
@@ -322,7 +325,12 @@ def _retag(tokens, tags, lemmas):
             while j >= 0 and tags[j] == "RB":
                 j -= 1
             if j >= 0 and (
-                tags[j] == "MD" or tags[j] == "TO"
+                tags[j] == "MD"
+                or (tags[j] == "TO"
+                    and (j == 0 or tags[j - 1] not in _NOUNISH))
+                # a TO right after a noun is prepositional ("a gradual
+                # return to tennis", "the letter to investors") — only a
+                # non-nominal governor marks the infinitive reading
                 or (lemmas[j] == "do" and tags[j].startswith("VB"))
             ):
                 tags[i], lemmas[i] = "VB", w
@@ -518,13 +526,29 @@ def _parse_vp(verb, seq, tags, lemmas, deps):
             deps.append((verb, "xcomp", i))  # "feels happy"
             k += 1
             continue
+        if t == "CC" and np_slots and k + 1 < len(seq):
+            # NP coordination in object position attaches to the previous
+            # object head, CoreNLP-style ("added a family room and a
+            # second furnace" -> conj:and(room, furnace)), NOT as a second
+            # object slot on the verb — the spurious iobj/dobj pair made
+            # the reference's rules veto sentences CoreNLP extracts from
+            chunk, nxt = _collect_np(seq, tags, k + 1)
+            if chunk:
+                head = _np_chunk_edges(chunk, tags, lemmas, deps)
+                deps.append((np_slots[-1], "cc", i))
+                deps.append((np_slots[-1], "conj:" + lem, head))
+                k = nxt
+                continue
+            k += 1
+            continue
         chunk, nxt = _collect_np(seq, tags, k)
         if chunk:
             head = _np_chunk_edges(chunk, tags, lemmas, deps)
             first = chunk[0]
             if lemmas[head] in _TEMPORAL_NOUNS and (
                 len(chunk) == 1 or lemmas[first] in ("this", "that",
-                                                     "every", "each")
+                                                     "every", "each",
+                                                     "last", "next")
             ):
                 # bare temporal NP ("that morning", "this year") ->
                 # nmod:tmod, CoreNLP-style, not a dobj slot

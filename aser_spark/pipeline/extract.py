@@ -47,8 +47,34 @@ def _sentence_cache(mode: str = "seed"):
 
     Contract: cached parsed dicts / eventuality records are SHARED —
     downstream code must treat them as frozen (it does: rows are built by
-    reading fields only)."""
+    reading fields only).
+
+    One mode resident at a time: switching modes EVICTS the other mode's
+    memos, unfreezes + collects them, and returns the freed arenas to the
+    OS (malloc_trim).  A reused worker whose heap still holds a prior
+    mode's memo state ran the next mode's kernel 4-8x slower on pure CPU
+    (sf0.1 discourse after seed: 31-68s vs 8.5s in fresh workers;
+    python-cpu 666s vs ~200s for identical work) — heap-locality damage
+    from the resident state, not cyclic GC (a per-mode re-freeze alone
+    did not recover it; eviction + trim does, measured back to 8.4s).
+    Full forensics: BENCH/NOTES.md §r6.  Rebuilding an evicted memo later
+    costs seconds; mixed-mode pipelines alternate per STAGE, not per
+    task, so thrash is bounded by the number of mode switches."""
     if mode not in _SENT_MEMOS:
+        stale = [m for m in _SENT_MEMOS if m != mode]
+        if stale:
+            import ctypes
+            import gc
+
+            for m in stale:
+                del _SENT_MEMOS[m]
+            gc.unfreeze()    # frozen memo objects become collectable again
+            _GC_TUNED.clear()  # next _freeze_longlived() re-freezes survivors
+            gc.collect()
+            try:
+                ctypes.CDLL("libc.so.6").malloc_trim(0)
+            except OSError:
+                pass
         from functools import lru_cache
 
         from ..kernel import extract_sentence_eventualities
@@ -184,33 +210,39 @@ def _frame(rows, columns):
     return pd.DataFrame(dict(zip(columns, map(list, zip(*rows)))))
 
 
-_GC_TUNED = False
+_GC_TUNED: set = set()
 
 
-def _freeze_longlived():
+def _freeze_longlived(mode: str = "seed"):
     """Take the worker's long-lived objects (sentence memos, compiled
     classifier tables — millions of small objects that survive for the
     worker's lifetime) out of the cyclic GC's frequent-scan path.  Reused
-    python workers otherwise pay full gen2 collections repeatedly inside
-    every allocation-heavy extraction task (measured 1.5x on the
-    discourse kernel once a prior stage's memo is resident).
+    python workers otherwise pay gen2 collections repeatedly inside every
+    allocation-heavy extraction task.
 
-    Freeze runs ONCE per worker (collect first, so no garbage is frozen):
-    repeated freezing would permanently exempt memo entries that lru_cache
-    later evicts — an unbounded leak under cache churn — whereas a single
-    freeze leaks at most the entries resident at that one moment.  Objects
-    allocated after the freeze stay ordinarily collectable; raised GC
-    thresholds keep full scans over the (growing, long-lived) memos rare
-    instead of per-allocation-burst."""
+    Freeze runs once per worker per MODE (collect first, so no garbage is
+    frozen).  Once-per-worker was not enough: the first task freezes an
+    EMPTY state, so everything the seed stage then builds (a 16k-entry
+    parse LRU whose values are node trees + leaf-index caches) stays in
+    gen2 unfrozen, and a later discourse stage's allocation bursts scan
+    those millions of objects on every gen2 collection — measured 4-8x
+    on the full sf0.1 discourse stage in REUSED workers (31-68s) vs
+    fresh workers (8.5s), reproducible with spark.python.worker.reuse
+    on/off (BENCH/NOTES.md §r6).  Re-freezing at the first task of the
+    NEXT mode captures the prior mode's resident memos.  Bounded leak:
+    entries evicted from a frozen LRU after a mode switch stay
+    unreclaimed, capped by the LRU sizes at the (at most two) freeze
+    points, not by corpus churn."""
     global _GC_TUNED
-    if _GC_TUNED:
+    if mode in _GC_TUNED:
         return
     import gc
 
     gc.collect()
     gc.freeze()
-    gc.set_threshold(50_000, 25, 50)
-    _GC_TUNED = True
+    if not _GC_TUNED:
+        gc.set_threshold(50_000, 25, 50)
+    _GC_TUNED.add(mode)
 
 
 def _group_by_conv(df, num_partitions=None):
@@ -401,8 +433,8 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
     cols = ["turn_idx", "text"]
 
     def run_whole(batches):
-        _freeze_longlived()
-        memo = _sentence_cache(mode)
+        memo = _sentence_cache(mode)  # evicts a stale mode FIRST
+        _freeze_longlived(mode)  # then freeze the survivors + new tables
         out = []
         for conv_id, rows in _conversation_stream(batches, cols):
             out.extend(conversation_instance_rows(conv_id, rows, memo, mode))
@@ -421,8 +453,8 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
         raise ValueError(f"need max_turns > context_turns >= 0, got {m}, {k}")
 
     def run_chunks(batches):
-        _freeze_longlived()
-        memo = _sentence_cache(mode)
+        memo = _sentence_cache(mode)  # evicts a stale mode FIRST
+        _freeze_longlived(mode)  # then freeze the survivors + new tables
         out = []
         for gkey, rows in _conversation_stream(batches, cols, key_col="gkey"):
             conv_id, _, chunk = gkey.rpartition("\x00")

@@ -33,6 +33,15 @@ def get_spark(app="aser-spark", cpus: int | None = None, shuffle_partitions: int
         # caches instances + aggregates and a second extraction pass runs —
         # 117s vs 30s for the identical stage at 48g)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # spark.python.worker.reuse stays at its default (true): long-lived
+        # workers keep the Zipf sentence memos warm across tasks, and the
+        # cross-mode heap poison that reuse used to carry (4-8x slower
+        # kernel tasks after a prior mode's memos went resident) is fixed
+        # at the source — _sentence_cache evicts + trims the stale mode's
+        # state on switch (pipeline/extract.py; forensics in
+        # BENCH/NOTES.md §r6).  reuse=false was tried and reverted: per-
+        # stage mass worker exits (32 procs x 100-400MB heaps) feed the
+        # sandbox kernel's reclaim backlog, the very storm being avoided.
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

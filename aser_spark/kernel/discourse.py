@@ -1013,9 +1013,10 @@ def extract_paragraph_relations_discourse(sentences, para_eventualities,
         cands_raw = _CAND_MEMO.get(ck)
         if cands_raw is None:
             cands_raw = extract_connective_candidates(sp["tokens"])
-            if len(_CAND_MEMO) >= _CAND_MEMO_MAX:
-                _CAND_MEMO.clear()
-            _CAND_MEMO[ck] = cands_raw
+            with _PAIR_MEMO_LOCK:  # atomic evict+insert (daemon threads)
+                if len(_CAND_MEMO) >= _CAND_MEMO_MAX:
+                    _CAND_MEMO.clear()
+                _CAND_MEMO[ck] = cands_raw
         if not cands_raw:
             continue  # no connective -> no rows; skip key build entirely
         if not memoizable:
@@ -1576,9 +1577,10 @@ def sentence_connective_separators(tokens, pos_tags, syntax_tree,
     cands = _CAND_MEMO.get(ck)
     if cands is None:
         cands = extract_connective_candidates(tokens)
-        if len(_CAND_MEMO) >= _CAND_MEMO_MAX:
-            _CAND_MEMO.clear()
-        _CAND_MEMO[ck] = cands
+        with _PAIR_MEMO_LOCK:  # atomic evict+insert (daemon threads)
+            if len(_CAND_MEMO) >= _CAND_MEMO_MAX:
+                _CAND_MEMO.clear()
+            _CAND_MEMO[ck] = cands
     sep = set()
     for c in sorted(cands, key=lambda x: x["connective"]):
         strings = connective_feature_strings(doc, sent_idx, c["indices"],

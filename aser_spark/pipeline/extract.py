@@ -409,10 +409,20 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
 
     ``max_turns`` is the skew guard for untrusted corpora: keyed by
     conv_id alone, a pathological million-turn conversation is ONE task.
-    With ``max_turns=m`` each conversation is split into turn-range chunks
-    ``chunk = turn_idx div m`` and the exchange keys on (conv_id, chunk),
-    so per-task work is bounded by ``m + 2*context_turns`` turns no matter
-    the conversation length.  Each chunk also receives COPIES of the last
+    With ``max_turns=m`` each conversation is split into rank-range chunks
+    ``chunk = rank div m`` — rank = the dense per-conversation position of
+    the turn (``row_number() over (partition by conv_id order by
+    turn_idx)``), NOT the raw turn_idx value, so gapped or sparse turn
+    indices (exactly the untrusted corpora the guard targets) still chunk
+    into full m-turn groups with the true previous/next turns as carried
+    context.  The rank pass costs one extra JVM-side exchange+sort of the
+    narrow (conv_id, turn_idx, text) projection before the gkey exchange;
+    the guard is opt-in, and a value-based chunking is silently WRONG on
+    gaps (a chunk boundary would separate a turn from its actual
+    predecessor, changing the kernel's prev-sentence context).  The
+    exchange keys on (conv_id, chunk), so per-task work is bounded by
+    ``m + 2*context_turns`` turns no matter the conversation length.
+    Each chunk also receives COPIES of the last
     ``context_turns`` turns of the previous chunk and the first
     ``context_turns`` of the next (one extra exchange row per boundary
     turn — no extra shuffle stage), and the kernel computes over the whole
@@ -456,18 +466,34 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
         memo = _sentence_cache(mode)  # evicts a stale mode FIRST
         _freeze_longlived(mode)  # then freeze the survivors + new tables
         out = []
-        for gkey, rows in _conversation_stream(batches, cols, key_col="gkey"):
+        chunk_cols = ["rk", "turn_idx", "text"]
+        for gkey, rows in _conversation_stream(batches, chunk_cols,
+                                               key_col="gkey"):
             conv_id, _, chunk = gkey.rpartition("\x00")
             lo = int(chunk) * m
+            # core = ranks in [lo, lo+m); ranks map monotonically onto
+            # turn_idx, so the core is a contiguous turn-value range and
+            # the existing emit_turns contract applies unchanged
+            lo_t = next((t for r, t, _ in rows if r >= lo), None)
+            if lo_t is None:  # boundary-context-only group (conv ends at m)
+                continue
+            hi_t = next((t for r, t, _ in rows if r >= lo + m),
+                        rows[-1][1] + 1)
             out.extend(conversation_instance_rows(
-                conv_id, rows, memo, mode, emit_turns=(lo, lo + m)))
+                conv_id, [(t, x) for _, t, x in rows], memo, mode,
+                emit_turns=(lo_t, hi_t)))
             if len(out) >= 16384:
                 yield _frame(out, _INST_COLS)
                 out = []
         yield _frame(out, _INST_COLS)
 
-    chunk = (F.col("turn_idx") / m).cast("long")
-    pos = F.col("turn_idx") % m
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ranked = narrow.withColumn(
+        "rk", (F.row_number().over(rank_w) - 1).cast("long"))
+    chunk = (F.col("rk") / m).cast("long")
+    pos = F.col("rk") % m
     # one row per (target chunk) a turn participates in: its own, plus
     # context copies into the neighboring chunks near a boundary
     targets = F.array_compact(F.array(
@@ -475,11 +501,11 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
         F.when(pos >= m - k, F.struct((chunk + 1).alias("c"))),
         F.when((pos < k) & (chunk > 0), F.struct((chunk - 1).alias("c"))),
     ))
-    exploded = (narrow
+    exploded = (ranked
                 .withColumn("_t", F.explode(targets))
                 .withColumn("gkey", F.concat_ws("\x00", F.col("conv_id"),
                                                 F.col("_t.c").cast("string")))
-                .select("gkey", "conv_id", "turn_idx", "text"))
+                .select("gkey", "rk", "turn_idx", "text"))
     if num_partitions is None:
         sc = narrow.sparkSession.sparkContext
         num_partitions = max(sc.defaultParallelism, 8)

@@ -1,8 +1,16 @@
 """Benchmark harness (driver contract).
 
 Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the full
+record JSON line followed by a COMPACT summary JSON line (the driver
+captures only the tail of stdout and parses the last line — r6's full
+record outgrew the capture window and the graded headline was lost, so
+the last line is guaranteed small):
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Stage order: the discourse-mode build runs FIRST (fresh python workers —
+no cross-mode memo state can exist; r6 VERDICT #1), then the seed build,
+enrichment, and the relational/dedup/ANN heads.
 
 Headline = the flagship KG build (transcripts -> parse -> extract ->
 aggregate -> core filter) sized to the scale factor (~200k turns at sf0.1),
@@ -142,6 +150,47 @@ def main():
     extras["kg_gen_sec"] = round(time.time() - t0, 3)
     extras["n_turns"] = n_turns
 
+    # --- discourse-mode flagship FIRST (v2.0 path: connective LR filter +
+    # clause re-extraction + classifier argument spans + 14-sense LR).
+    # Ordering rationale (r6 VERDICT #1): r3-r6 discourse records ran after
+    # the seed + enrichment stages and repeatedly read 2-6x the isolated
+    # kernel cost; running discourse into FRESH python workers removes any
+    # possible cross-mode worker state from the graded number, and the
+    # per-substage timings below attribute whatever remains. ---------------
+    def _run_discourse():
+        # each run rebuilds from the persisted transcripts only — caches
+        # dropped inside — so the rerun measures the full discourse
+        # dataflow, not a warm cache.  Substages timed separately so a slow
+        # record shows WHERE the time went (extract UDF pass vs the two
+        # hash aggregations) instead of one opaque number.
+        sub: dict[str, float] = {}
+        t0 = time.time()
+        inst_d = extract_graph_instances(transcripts, pre_grouped=True,
+                                         mode="discourse").persist()
+        inst_d.count()
+        sub["extract"] = round(time.time() - t0, 3)
+        t1 = time.time()
+        extras["n_nodes_discourse"] = aggregate_nodes(
+            nodes_from_instances(inst_d)).count()
+        sub["agg_nodes"] = round(time.time() - t1, 3)
+        t1 = time.time()
+        extras["n_edges_discourse"] = aggregate_edges(
+            edges_from_instances(inst_d)).count()
+        sub["agg_edges"] = round(time.time() - t1, 3)
+        inst_d.unpersist(True)
+        extras.setdefault("discourse_substages", []).append(sub)
+        return {"kg_build_discourse": round(time.time() - t0, 3)}
+
+    d = adaptive_group("discourse", _run_discourse, reps=2)
+    # recorded as an extra, not in the headline sum: headline_total keeps
+    # the round-1/2 stage set so the driver's round-over-round comparison
+    # stays apples-to-apples
+    extras["kg_build_discourse_sec"] = d["kg_build_discourse"]
+    extras["kg_build_discourse_reps_sec"] = [
+        r["kg_build_discourse"] for r in extras["reps_discourse"]]
+    extras["turns_per_sec_discourse"] = round(
+        n_turns / d["kg_build_discourse"], 1)
+
     state: dict = {}
 
     def _run_kg_build():
@@ -175,10 +224,9 @@ def main():
                      core_nodes=core_nodes)
         return {"kg_build": round(time.time() - t0, 3)}
 
-    # two reps + min: the seed build is the first python-worker stage of
-    # the session and the one most often caught by a host pocket; a fixed
-    # second rep costs ~15-20s healthy and halves the window-luck variance
-    # (the adaptive retry below still guards the both-reps-throttled case)
+    # two reps + min: a fixed second rep costs ~15-20s healthy and halves
+    # the window-luck variance (the adaptive retry below still guards the
+    # both-reps-throttled case)
     timings.update(adaptive_group("kg_build", _run_kg_build, reps=2))
     extras["turns_per_sec"] = round(n_turns / timings["kg_build"], 1)
 
@@ -215,38 +263,8 @@ def main():
 
     timings.update(adaptive_group("enrich", _run_enrich, reps=2))
 
-    # --- discourse-mode flagship (v2.0 path: connective LR filter + clause
-    # re-extraction + classifier argument spans + 14-sense LR).  Seed-side
-    # caches are released first so the stage is measured in isolation, like
-    # a production run that builds one KG mode at a time. ------------------
     for name in ("inst", "nodes", "edges", "core_nodes"):
         state[name].unpersist(True)
-
-    def _run_discourse():
-        # each run rebuilds from the persisted transcripts only — caches
-        # dropped inside — so the rerun measures the full discourse
-        # dataflow, not a warm cache
-        t0 = time.time()
-        inst_d = extract_graph_instances(transcripts, pre_grouped=True,
-                                         mode="discourse").persist()
-        inst_d.count()
-        extras["n_nodes_discourse"] = aggregate_nodes(
-            nodes_from_instances(inst_d)).count()
-        extras["n_edges_discourse"] = aggregate_edges(
-            edges_from_instances(inst_d)).count()
-        inst_d.unpersist(True)
-        return {"kg_build_discourse": round(time.time() - t0, 3)}
-
-    d = adaptive_group("discourse", _run_discourse, reps=2)
-    # recorded as an extra, not in the headline sum: headline_total keeps
-    # the round-1/2 stage set so the driver's round-over-round comparison
-    # stays apples-to-apples
-    extras["kg_build_discourse_sec"] = d["kg_build_discourse"]
-    extras["kg_build_discourse_reps_sec"] = [
-        r["kg_build_discourse"] for r in extras["reps_discourse"]]
-    extras["turns_per_sec_discourse"] = round(
-        n_turns / d["kg_build_discourse"], 1)
-
     transcripts.unpersist()
 
     # --- representative operator queries over the sf tables ---------------
@@ -278,6 +296,29 @@ def main():
         "sf": sf,
         "cpus": CPUS,
         **extras,
+    }))
+    sys.stdout.flush()
+    # The driver captures only the TAIL of stdout and parses the last line;
+    # r6's full record grew past the capture window and the graded headline
+    # was lost (`parsed: null`).  The FINAL line is therefore a compact
+    # summary that can never outgrow the window — full detail stays in the
+    # line above for humans who run bench.py directly.
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "kg_build_sec": timings.get("kg_build"),
+        "turns_per_sec": extras.get("turns_per_sec"),
+        "kg_build_discourse_sec": extras.get("kg_build_discourse_sec"),
+        "turns_per_sec_discourse": extras.get("turns_per_sec_discourse"),
+        "kg_build_reps_sec": [r.get("kg_build")
+                              for r in extras.get("reps_kg_build", [])],
+        "kg_build_discourse_reps_sec":
+            extras.get("kg_build_discourse_reps_sec"),
+        "discourse_substages": extras.get("discourse_substages"),
     }))
     spark.stop()
 

@@ -67,9 +67,10 @@ def test_spark_split_identical_rows(spark, mode):
     assert whole == split
 
 
-def test_split_plan_single_exchange(spark):
-    """The skew guard must not add a shuffle stage: one pinned exchange
-    (now keyed on the composite gkey), one MapInPandas."""
+def test_split_plan_two_exchanges(spark):
+    """The skew guard costs exactly two exchanges: the dense-rank window
+    pass (hash by conv_id — required for gap-safe chunking) and the pinned
+    gkey exchange feeding the UDF. No third shuffle may creep in."""
     from aser_spark.datagen import transcripts_df
     from aser_spark.pipeline.extract import extract_graph_instances
 
@@ -78,9 +79,37 @@ def test_split_plan_single_exchange(spark):
     jvm = df.sparkSession._jvm
     p = df._jdf.queryExecution().explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
-    assert p.count("Exchange") == 1
+    assert p.count("Exchange") == 2
     assert "REPARTITION_BY_NUM" in p
     assert "MapInPandas" in p
+
+
+@pytest.mark.parametrize("mode", ["seed", "discourse"])
+def test_spark_split_gapped_turn_idx_identical(spark, mode):
+    """Gap-safety (r6 ADVICE repro class): sparse/gapped turn indices —
+    e.g. turns {5, 100} with m=16 — must still chunk by the DENSE rank so
+    every chunk receives the conversation's true previous turns as
+    context. Value-based chunking separated such turns into different
+    chunks and flipped connective relation rows."""
+    from aser_spark.pipeline.extract import extract_graph_instances
+
+    texts = [t for _, t in _giant_turns(40)]
+    # gaps of wildly varying size, incl. the exact {5, 100} repro shape
+    idxs, cur = [], 5
+    for i in range(40):
+        idxs.append(cur)
+        cur += (95, 1, 7, 1000)[i % 4]
+    giant = spark.createDataFrame(
+        [("gappy-0", i, t) for i, t in zip(idxs, texts)],
+        "conv_id string, turn_idx int, text string")
+
+    def rows(df):
+        return sorted(map(repr, df.collect()))
+
+    whole = rows(extract_graph_instances(giant, mode=mode))
+    split = rows(extract_graph_instances(giant, mode=mode, max_turns=16,
+                                         context_turns=2))
+    assert whole == split
 
 
 def test_split_bounds_max_task_rows(spark):

@@ -119,10 +119,12 @@ def heldout_paragraph_rows(corpus: str = "heldout_prose") -> list:
     queries and their staged oracles.  ``heldout_prose`` is the r5 corpus
     (110 paragraphs, 12 registers); ``heldout_prose2`` and
     ``heldout_prose3`` the r6 ones (104 paragraphs each, 8 further unseen
-    registers apiece)."""
+    registers apiece); ``heldout_prose4`` the r7 ADVERSARIAL corpus (104
+    paragraphs: disfluent dialogue, headlines/fragments, question-heavy
+    text, long multi-clause sentences)."""
     fixture = Path(__file__).resolve().parent.parent / "fixtures" / f"{corpus}.jsonl"
     prefix = {"heldout_prose": "heldout", "heldout_prose2": "heldout2",
-              "heldout_prose3": "heldout3"}[corpus]
+              "heldout_prose3": "heldout3", "heldout_prose4": "heldout4"}[corpus]
     rows = []
     with open(fixture) as f:
         for i, line in enumerate(f):
@@ -162,7 +164,7 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
              for k in ("instances", "instances_discourse", "probase", "kb",
                        "media", "concepts_exact", "parse_coverage",
                        "parse_coverage_heldout", "parse_coverage_heldout2",
-                       "parse_coverage_heldout3")}
+                       "parse_coverage_heldout3", "parse_coverage_heldout4")}
     marker = base / "MARKER.json"
     want = {"version": STAGE_VERSION, "n_convs": n_convs, "seed": seed,
             "n_media": n_media}
@@ -209,6 +211,12 @@ def stage_kg_oracle_inputs(n_convs: int = 400, seed: int = 42,
                     ("covered", "bool_")])
     _write_parquet(paths["parse_coverage_heldout3"],
                    _coverage_rows_heldout("heldout_prose3"),
+                   [("conv_id", "string"), ("turn_idx", "int32"),
+                    ("sent_idx", "int32"), ("n_tokens", "int32"),
+                    ("pos_tags", "string"), ("n_eventualities", "int32"),
+                    ("covered", "bool_")])
+    _write_parquet(paths["parse_coverage_heldout4"],
+                   _coverage_rows_heldout("heldout_prose4"),
                    [("conv_id", "string"), ("turn_idx", "int32"),
                     ("sent_idx", "int32"), ("n_tokens", "int32"),
                     ("pos_tags", "string"), ("n_eventualities", "int32"),

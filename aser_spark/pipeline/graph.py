@@ -111,6 +111,62 @@ def merge_kgs(node_dfs: list, edge_dfs: list):
     return merged_nodes, merged_edges
 
 
+def merge_into_kg(nodes: DataFrame, edges: DataFrame,
+                  new_instances: DataFrame):
+    """Incremental KG update: fold a batch of NEW instance rows into an
+    existing (nodes, edges) KG — the Spark re-expression of the reference's
+    insert/update split (``frequency +=`` / ``weight +=`` upserts,
+    /root/reference/aser/database/kg_connection.py:315-341, and the
+    KG ``+=`` merge :257-298).
+
+    Shape: aggregate the DELTA first (it is typically orders of magnitude
+    smaller than the accumulated KG), then ONE co-keyed full-outer join per
+    table.  Existing rows pass through with their payload untouched —
+    payload columns are eid-functional, so ``coalesce(old, new)`` is exact —
+    and only the additive measures (frequency / weight) combine.  This is
+    the MERGE-INTO plan rather than union+re-aggregate: the big side is
+    joined on its own primary key, so with the KG stored bucketed by
+    eid/hid (write_graph_tables; Iceberg ``bucket(eid)`` in production) a
+    storage-partitioned join reads it WITHOUT a shuffle, and only the small
+    delta is exchanged.  Union+re-aggregate (merge_kgs) would re-shuffle
+    and re-hash the full accumulated KG — wrong at 100 TB where the KG is
+    large and each incremental batch is small.
+
+    Exactness invariant (driver-checked by the ``kg_incremental_merge``
+    oracle query and pytest): ``merge_into_kg(build(A), instances(B)) ==
+    build(A ∪ B)`` bit-for-bit — frequencies/weights are sums, and the
+    instance weights here are dyadic rationals, so addition order cannot
+    change the result.
+    """
+    delta_nodes = aggregate_nodes(nodes_from_instances(new_instances))
+    delta_edges = aggregate_edges(edges_from_instances(new_instances))
+
+    payload = ("pattern", "words", "pos_tags", "skeleton_words", "verbs")
+    merged_nodes = (
+        nodes.alias("o").join(delta_nodes.alias("n"), "eid", "full_outer")
+        .select(
+            "eid",
+            *[F.coalesce(F.col(f"o.{c}"), F.col(f"n.{c}")).alias(c)
+              for c in payload],
+            (F.coalesce(F.col("o.frequency"), F.lit(0.0))
+             + F.coalesce(F.col("n.frequency"), F.lit(0.0))).alias("frequency"),
+        )
+    )
+    merged_edges = (
+        edges.select("hid", "tid", "sense", "weight").alias("o")
+        .join(delta_edges.select("hid", "tid", "sense", "weight").alias("n"),
+              ["hid", "tid", "sense"], "full_outer")
+        .select(
+            "hid", "tid", "sense",
+            (F.coalesce(F.col("o.weight"), F.lit(0.0))
+             + F.coalesce(F.col("n.weight"), F.lit(0.0))).alias("weight"),
+        )
+        .withColumn("rid", F.sha1(F.concat_ws("$", F.col("hid"), F.col("tid"))))
+        .select("rid", "hid", "tid", "sense", "weight")
+    )
+    return merged_nodes, merged_edges
+
+
 def write_graph_tables(nodes: DataFrame, edges: DataFrame, lineage: DataFrame,
                        workdir: str, n_buckets: int = 64, mode: str = "overwrite"):
     """Materialize partitioned graph tables.

@@ -17,10 +17,21 @@ import pytest
 FIXTURES = Path(__file__).resolve().parent.parent / "fixtures"
 
 
-# strict-coverage / parse-rate floors established per corpus by
-# scripts/validate_heldout.py (reference-on-our-parse); ratchet-only.
-_FLOORS = {"heldout_prose": (0.82, 0.99), "heldout_prose2": (0.85, 0.99),
-           "heldout_prose3": (0.85, 0.99)}
+# strict-coverage / parse-rate / min-in-policy floors established per
+# corpus by scripts/validate_heldout.py (reference-on-our-parse);
+# ratchet-only.  heldout_prose4 is the r7 ADVERSARIAL corpus
+# (disfluent dialogue, headline fragments, question-heavy text, long
+# multi-clause sentences): its measured strict coverage is 0.6441 with
+# parity 1.0 and coverage-excluding-reference-agreed-zeros 1.0 — i.e.
+# every zero is a sentence the reference itself extracts nothing from
+# on the identical parse (70 no-subject fragments/imperatives, 9 rule
+# vetoes), so the lower strict floor reflects the REFERENCE's ceiling
+# on adversarial registers, not a grammar gap; its parse_rate floor is
+# likewise lower because headline fragments contain no verbal clause.
+_FLOORS = {"heldout_prose": (0.82, 0.99, 390),
+           "heldout_prose2": (0.85, 0.99, 390),
+           "heldout_prose3": (0.85, 0.99, 390),
+           "heldout_prose4": (0.64, 0.72, 200)}
 
 
 @pytest.fixture(scope="module", params=sorted(_FLOORS))
@@ -31,7 +42,7 @@ def corpus(request):
 @pytest.fixture(scope="module")
 def paragraphs(corpus):
     prefix = {"heldout_prose": "heldout", "heldout_prose2": "heldout2",
-              "heldout_prose3": "heldout3"}[corpus]
+              "heldout_prose3": "heldout3", "heldout_prose4": "heldout4"}[corpus]
     out = []
     with open(FIXTURES / f"{corpus}.jsonl") as f:
         for i, line in enumerate(f):
@@ -132,7 +143,7 @@ def test_heldout_coverage_floor(corpus, paragraphs):
                 if any(p["pos_tags"][g].startswith("VB") or lab == "cop"
                        for g, lab, _ in p["dependencies"]):
                     n_parse_ok += 1
-    cov_floor, parse_floor = _FLOORS[corpus]
-    assert n_in_policy > 390
+    cov_floor, parse_floor, min_in_policy = _FLOORS[corpus]
+    assert n_in_policy > min_in_policy
     assert n_cov / n_in_policy >= cov_floor, (n_cov, n_in_policy)
     assert n_parse_ok / n_in_policy >= parse_floor, (n_parse_ok, n_in_policy)

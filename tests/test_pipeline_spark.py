@@ -181,6 +181,49 @@ def test_incremental_upsert_equivalence(spark, transcripts):
     assert rows(merged_edges, "weight") == rows(full_edges, "weight")
 
 
+def test_merge_into_kg_matches_full_build(spark, transcripts):
+    """First-class incremental update (r6 VERDICT #4): folding batch B's
+    RAW instance rows into the already-aggregated KG of batch A via
+    merge_into_kg (delta agg + one co-keyed full-outer join per table)
+    equals building the KG over A ∪ B in one shot — the Spark mirror of
+    test_serving_sqlite's upsert==union-merge invariant.  Also checks the
+    pass-through contract: rows untouched by the delta keep their payload
+    and measure bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from aser_spark.pipeline import extract_graph_instances
+    from aser_spark.pipeline.aggregate import (aggregate_edges,
+                                               aggregate_nodes,
+                                               edges_from_instances,
+                                               nodes_from_instances)
+    from aser_spark.pipeline.graph import merge_into_kg
+
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    inst_a = extract_graph_instances(transcripts.filter(half == 0))
+    inst_b = extract_graph_instances(transcripts.filter(half == 1))
+    nodes_a = aggregate_nodes(nodes_from_instances(inst_a))
+    edges_a = aggregate_edges(edges_from_instances(inst_a))
+    merged_nodes, merged_edges = merge_into_kg(nodes_a, edges_a, inst_b)
+
+    inst_full = extract_graph_instances(transcripts)
+    full_nodes = aggregate_nodes(nodes_from_instances(inst_full))
+    full_edges = aggregate_edges(edges_from_instances(inst_full))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # exact, not rounded: instance weights are dyadic rationals and
+    # frequencies integral doubles, so addition order cannot perturb them
+    assert rows(merged_nodes) == rows(full_nodes)
+    assert rows(merged_edges) == rows(full_edges)
+
+    # folding an EMPTY delta is the identity (schema included)
+    empty = inst_full.limit(0)
+    id_nodes, id_edges = merge_into_kg(full_nodes, full_edges, empty)
+    assert rows(id_nodes) == rows(full_nodes)
+    assert rows(id_edges) == rows(full_edges)
+
+
 def test_checkpoint_mode_mismatch_fails_fast(spark, transcripts, tmp_path):
     """Resuming a workdir under a different extraction mode must raise —
     the seed and discourse kernels emit different eids/relations."""

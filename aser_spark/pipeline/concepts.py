@@ -53,17 +53,29 @@ def seed_rule_concepts(nodes: DataFrame) -> DataFrame:
 
 
 def probase_concepts(nodes: DataFrame, probase: DataFrame, topk: int = 3,
-                     min_frequency: float = 0.0) -> DataFrame:
+                     min_frequency: float = 0.0,
+                     broadcast: bool = True) -> DataFrame:
     """Single-noun hypernym substitutions over the seed-abstracted words.
 
-    probase: (instance string, concept string, likelihood double) — small
-    dimension, broadcast.  Output: (eid, pattern, frequency, concept_words,
-    score) — one row per (eventuality, substituted concept).
+    probase: (instance string, concept string, likelihood double).
+    Output: (eid, pattern, frequency, concept_words, score) — one row per
+    (eventuality, substituted concept).
 
     ``min_frequency``: the reference conceptualizes only eventualities with
     frequency >= 5 by default (aser-pipe --concept_min_frequency,
     /root/reference/aser/utils/config.py:113-116) — pass 5.0 for the
-    faithful pipeline configuration."""
+    faithful pipeline configuration.
+
+    ``broadcast``: join-strategy control for the probe join.  True (the
+    default) HINTS a broadcast of the top-k-filtered probase — right for
+    the toy/test dimension and for any dump whose per-instance top-k
+    projection fits executor memory.  For a REAL Probase-scale dump (the
+    reference loads ~30M rows, concept.py:64-77 — top-3 per instance is
+    still ~10M rows / several hundred MB), pass False: the hint would
+    force an oversized broadcast, while without it Catalyst plans a
+    shuffled join on ``word = instance`` and AQE still downgrades it to a
+    broadcast at runtime if the filtered side turns out small.  The
+    plan-shape contract is pinned by tests/test_plan_shapes.py."""
     if min_frequency > 0:
         nodes = nodes.filter(F.col("frequency") >= F.lit(min_frequency))
     seed = seed_rule_concepts(nodes)
@@ -74,10 +86,11 @@ def probase_concepts(nodes: DataFrame, probase: DataFrame, topk: int = 3,
         .select("instance", F.regexp_replace("concept", " ", "-").alias("concept"),
                 "likelihood")
     )
+    if broadcast:
+        top = F.broadcast(top)
     toks = F.posexplode(F.split(F.col("concept_words"), " ")).alias("pos", "word")
     exploded = seed.select("eid", "pattern", "frequency", "concept_words", toks)
-    hits = exploded.join(
-        F.broadcast(top), exploded.word == top.instance, "inner")
+    hits = exploded.join(top, exploded.word == top.instance, "inner")
     substituted = hits.select(
         "eid", "pattern", "frequency",
         F.concat_ws(" ", F.transform(
@@ -92,7 +105,8 @@ def probase_concepts(nodes: DataFrame, probase: DataFrame, topk: int = 3,
 def probase_concepts_multi(nodes: DataFrame, probase: DataFrame, topk: int = 3,
                            max_subs: int = 2,
                            min_frequency: float = 0.0,
-                           global_topk: int | None = None) -> DataFrame:
+                           global_topk: int | None = None,
+                           broadcast: bool = True) -> DataFrame:
     """MULTI-noun hypernym substitution — the reference's combination beam
     (aser_conceptualizer.py:168-215) re-expressed as ``max_subs`` rounds of
     DataFrame expansion instead of a driver-side heap.
@@ -118,6 +132,8 @@ def probase_concepts_multi(nodes: DataFrame, probase: DataFrame, topk: int = 3,
         .select("instance", F.regexp_replace("concept", " ", "-").alias("concept"),
                 "likelihood")
     )
+    if broadcast:
+        top = F.broadcast(top)
     base = seed.select(
         "eid", "pattern", "frequency",
         F.col("concept_words").alias("_orig"),
@@ -130,7 +146,7 @@ def probase_concepts_multi(nodes: DataFrame, probase: DataFrame, topk: int = 3,
             F.explode(F.array_distinct(F.filter(
                 F.split(F.col("_orig"), " "),
                 lambda x: x > F.col("_last")))).alias("word"))
-        hits = cand.join(F.broadcast(top), cand.word == top.instance, "inner")
+        hits = cand.join(top, cand.word == top.instance, "inner")
         cur = hits.select(
             "eid", "pattern", "frequency", "_orig",
             F.concat_ws(" ", F.transform(

@@ -274,6 +274,88 @@ def test_streaming_stateful_conversation_progress(spark, tmp_path):
     assert final == want
 
 
+def test_streaming_state_recovery_after_midbatch_kill(spark, tmp_path):
+    """Failure injection (r6 VERDICT #7): a micro-batch that dies AFTER
+    the offset log planned it — a corrupt parquet file lands inside the
+    batch — must, on restart from the SAME checkpoint, replay the planned
+    batch and converge to the exact batch ground truth.  State-store
+    commits are transactional per micro-batch, so the kill can neither
+    lose the dead batch's turns nor double-count whatever the failed
+    attempt partially processed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from aser_spark.datagen import transcripts_df
+    from aser_spark.streaming.ingest import streaming_conversation_progress
+
+    t = transcripts_df(spark, 12, seed=7).cache()
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def drop(df, name):
+        # single-FILE drop at a controlled path (pyarrow, not a Spark
+        # directory write) so the poison file can be replaced IN PLACE
+        # under the same path the offset log recorded
+        pdf = df.toPandas()
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       src / name, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+
+    out = str(tmp_path / "out")
+
+    def sink(batch_df, batch_id):
+        # idempotent per-batch parquet overwrite — the memory sink does
+        # NOT support restarting from a checkpoint, and this is the same
+        # replay-safe sink shape stream_extract_transcripts ships
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out))
+
+    def run():
+        q = (streaming_conversation_progress(spark, str(src))
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return q
+
+    drop(t.filter(F.col("turn_idx") < 2), "a.parquet")
+    run()  # batch 0 commits cleanly
+
+    # next trigger plans {b.parquet, poison.parquet} into one batch, then
+    # dies mid-batch reading the poison
+    drop(t.filter((F.col("turn_idx") >= 2) & (F.col("turn_idx") < 4)),
+         "b.parquet")
+    (src / "poison.parquet").write_bytes(b"PAR1 not a parquet footer")
+    with pytest.raises(StreamingQueryException):
+        run()
+
+    # operator fixes the file in place; restart from the same checkpoint
+    # replays the planned batch against the repaired file
+    drop(t.filter(F.col("turn_idx") >= 4), "poison.parquet")
+    run()
+
+    # every conversation has turns in the replayed batch, so the final
+    # update-mode emission per conversation carries its FINAL cumulative
+    # state; equality against the batch ground truth rules out both loss
+    # and double-counting.  Cumulative counts are monotone in batch_id,
+    # so max() per conversation is the last emission.
+    final = {}
+    for r in spark.read.parquet(out).collect():
+        cur = final.get(r.conv_id, (0, 0))
+        final[r.conv_id] = max(cur, (r.n_turns, r.n_chars))
+    want = {r.conv_id: (r.n_turns, r.n_chars)
+            for r in t.groupBy("conv_id")
+                      .agg(F.count("*").alias("n_turns"),
+                           F.sum(F.length("text")).alias("n_chars")).collect()}
+    assert final == want
+    t.unpersist()
+
+
 def test_coref_candidate_rank_matches_reference_fold(spark):
     """The closed-form weights in coref_candidate_rank must equal the
     reference's literal Entity.update fold f <- (f + f_i)/2 over carriers

@@ -209,3 +209,35 @@ def test_ivf_trained_broadcasts_centroids_no_cartesian(spark):
                                       max_fit=64), "simple")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_probase_join_strategy_flips_past_broadcast_size(spark):
+    """Probase at realistic scale (r6 VERDICT #5): the hinted default
+    broadcasts the top-k probase (right for dims that fit executor
+    memory), and broadcast=False must hand the strategy back to Catalyst
+    so a 30M-row real dump plans a SHUFFLED join instead of an OOM
+    broadcast.  autoBroadcastJoinThreshold=-1 stands in for 'filtered
+    probase larger than the threshold' at test scale; AQE may still
+    downgrade to broadcast at runtime when the filtered side is truly
+    small, which is exactly the wanted behavior."""
+    from aser_spark.pipeline.concepts import probase_concepts, toy_probase
+
+    nodes = spark.createDataFrame(
+        [("e1", "s-v-o", "the dog see the cat", "DT NN VBZ DT NN", 5.0)],
+        "eid string, pattern string, words string, pos_tags string, "
+        "frequency double")
+    pb = toy_probase(spark)
+
+    assert "BroadcastHashJoin" in _plan(probase_concepts(nodes, pb), "simple")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _plan(probase_concepts(nodes, pb, broadcast=False), "simple")
+        assert "BroadcastHashJoin" not in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        # the explicit hint must still win over the threshold
+        assert "BroadcastHashJoin" in _plan(
+            probase_concepts(nodes, pb, broadcast=True), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -415,11 +415,16 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
     turn_idx)``), NOT the raw turn_idx value, so gapped or sparse turn
     indices (exactly the untrusted corpora the guard targets) still chunk
     into full m-turn groups with the true previous/next turns as carried
-    context.  The rank pass costs one extra JVM-side exchange+sort of the
-    narrow (conv_id, turn_idx, text) projection before the gkey exchange;
-    the guard is opt-in, and a value-based chunking is silently WRONG on
-    gaps (a chunk boundary would separate a turn from its actual
-    predecessor, changing the kernel's prev-sentence context).  The
+    context.  The rank itself is computed in TWO PHASES so that no task
+    anywhere in the plan scales with the pathological conversation's
+    length (a naive ``Window.partitionBy(conv_id)`` rank would): a
+    bucket-local row_number inside bounded (conv_id, turn_idx div 4096)
+    partitions, plus prefix-summed per-bucket counts over a tiny
+    one-row-per-bucket table, joined back on the co-partitioned bucket
+    key — the pack_documents distributed-prefix-sum shape.  The guard is
+    opt-in, and a value-based chunking is silently WRONG on gaps (a chunk
+    boundary would separate a turn from its actual predecessor, changing
+    the kernel's prev-sentence context).  The
     exchange keys on (conv_id, chunk), so per-task work is bounded by
     ``m + 2*context_turns`` turns no matter the conversation length.
     Each chunk also receives COPIES of the last
@@ -489,9 +494,41 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
 
     from pyspark.sql import Window
 
-    rank_w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    ranked = narrow.withColumn(
-        "rk", (F.row_number().over(rank_w) - 1).cast("long"))
+    # TWO-PHASE dense rank (the pack_documents distributed-prefix-sum
+    # shape): a single `Window.partitionBy(conv_id)` rank would funnel the
+    # pathological conversation's ENTIRE row set through one window task —
+    # re-introducing at the rank stage exactly the unbounded task the
+    # guard exists to remove (measured: the giant conv's rank task read
+    # more records than the unsplit kernel task, scripts/scale_evidence.py
+    # giant_conv_tasks).  Instead: (1) bucket by turn_idx VALUE range
+    # (buckets are order-contiguous, so gap-safety is preserved; turn_idx
+    # is unique per conversation, so a bucket holds <= rank_bucket rows),
+    # (2) local row_number + bucket row-count inside the bounded
+    # (conv_id, bucket) partitions — one exchange, reused by both window
+    # specs and by the counts branch (ReuseExchange), (3) prefix-sum the
+    # per-bucket counts over a TINY one-row-per-bucket table (the only
+    # conv_id-keyed task left reads n_turns/rank_bucket count rows, not
+    # turns), (4) join offsets back on the co-partitioned (conv_id,
+    # bucket) key.  rank = bucket_offset + local_rank.
+    rank_bucket = 4096
+    bucket = F.floor(F.col("turn_idx") / rank_bucket)
+    w_local = Window.partitionBy("conv_id", "_b").orderBy("turn_idx")
+    pre = (narrow
+           .withColumn("_b", bucket)
+           .withColumn("_lrk", (F.row_number().over(w_local) - 1).cast("long")))
+    w_off = (Window.partitionBy("conv_id").orderBy("_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    # counts via map-side-combining hash agg over the 2-column projection
+    # (NOT a second big window): the exchange ships one partial row per
+    # (conv, bucket) per map partition
+    offsets = (narrow.select("conv_id", bucket.alias("_b"))
+               .groupBy("conv_id", "_b").agg(F.count("*").alias("_cnt"))
+               .select("conv_id", "_b",
+                       F.coalesce(F.sum("_cnt").over(w_off),
+                                  F.lit(0)).alias("_off")))
+    ranked = (pre.join(offsets, ["conv_id", "_b"])
+              .withColumn("rk", F.col("_off") + F.col("_lrk"))
+              .drop("_b", "_lrk", "_off"))
     chunk = (F.col("rk") / m).cast("long")
     pos = F.col("rk") % m
     # one row per (target chunk) a turn participates in: its own, plus

@@ -167,6 +167,36 @@ def merge_into_kg(nodes: DataFrame, edges: DataFrame,
     return merged_nodes, merged_edges
 
 
+def merge_lineage(lineage: DataFrame, new_instances: DataFrame,
+                  max_sids: int | None = DEFAULT_MAX_LINEAGE_SIDS,
+                  n_salts: int = 32) -> DataFrame:
+    """Incremental update for the S6 inverted lineage index, completing
+    merge_into_kg's table set.  Same MERGE-INTO shape: the delta batch is
+    salted-aggregated first (build_lineage), then one full-outer join on
+    eid.  Bounded mode stays exact under composition because the min-K of
+    a union is contained in the union of the min-Ks:
+    ``min-K(S ∪ T) ⊆ min-K(S) ∪ min-K(T)``, so re-slicing the merged
+    arrays reproduces ``build_lineage(A ∪ B)`` bit-for-bit, and
+    ``n_mentions`` is a plain sum.  The per-key merge cost is
+    O(2*max_sids) regardless of skew — the same head-key-survivable bound
+    as the base operator."""
+    delta = build_lineage(nodes_from_instances(new_instances),
+                          n_salts=n_salts, max_sids=max_sids)
+    merged_sids = F.array_distinct(F.concat(
+        F.coalesce(F.col("o.sids"), F.array()),
+        F.coalesce(F.col("n.sids"), F.array())))
+    if max_sids is not None:
+        merged_sids = F.slice(F.sort_array(merged_sids), 1, int(max_sids))
+    return (
+        lineage.alias("o").join(delta.alias("n"), "eid", "full_outer")
+        .select(
+            "eid", merged_sids.alias("sids"),
+            (F.coalesce(F.col("o.n_mentions"), F.lit(0))
+             + F.coalesce(F.col("n.n_mentions"), F.lit(0))).alias("n_mentions"),
+        )
+    )
+
+
 def write_graph_tables(nodes: DataFrame, edges: DataFrame, lineage: DataFrame,
                        workdir: str, n_buckets: int = 64, mode: str = "overwrite"):
     """Materialize partitioned graph tables.

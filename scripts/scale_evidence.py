@@ -342,6 +342,83 @@ def bench_giant_conv():
     spark.stop()
 
 
+def bench_giant_conv_tasks():
+    """Per-TASK boundedness of the max_turns skew guard at the edge
+    (r6 VERDICT #6): ONE synthetic 100k-turn conversation hidden among
+    20k normal ones, extracted with and without the guard, max task
+    shuffle-read records/bytes per stage via the REST taskSummary (the
+    r5 methodology).  Keyed on conv_id alone the giant is ONE task whose
+    shuffle read grows with the conversation; with max_turns=64 every
+    task's read is capped at m + 2*context_turns turns of any single
+    conversation regardless of its length.  Output identity under the
+    guard is pinned by tests/test_skew_split.py; this measures the
+    boundedness claim."""
+    import urllib.request
+
+    from aser_spark.config import get_spark
+    from aser_spark.datagen import transcripts_df
+    from aser_spark.pipeline.extract import extract_graph_instances
+
+    giant_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    n_normal = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+    spark = get_spark(app="giant-conv-tasks", cpus=8, shuffle_partitions=16,
+                      extra={"spark.ui.enabled": "true"})
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    base = sc.uiWebUrl + "/api/v1"
+
+    def rest(path):
+        with urllib.request.urlopen(base + path) as r:
+            return json.load(r)
+
+    def stage_ids():
+        return {s["stageId"] for s in rest(f"/applications/{app_id}/stages")}
+
+    def max_task_reads(new_ids):
+        worst = {"max_task_shuffle_records": 0, "max_task_shuffle_mb": 0.0}
+        for st in sorted(new_ids):
+            try:
+                summ = rest(f"/applications/{app_id}/stages/{st}/0/"
+                            "taskSummary?quantiles=1.0")
+            except Exception:
+                continue
+            sr = summ.get("shuffleReadMetrics") or {}
+            recs = int((sr.get("readRecords") or [0])[0])
+            byts = (sr.get("readBytes") or [0])[0]
+            if recs > worst["max_task_shuffle_records"]:
+                worst = {"max_task_shuffle_records": recs,
+                         "max_task_shuffle_mb": round(byts / 2**20, 2)}
+        return worst
+
+    giant = spark.createDataFrame(
+        [("giant-0", i,
+          f"the worker finishes task {i} and the reviewer checks the "
+          f"result before the deadline.") for i in range(giant_turns)],
+        "conv_id string, turn_idx int, text string")
+    tail = transcripts_df(spark, n_normal, seed=11).select(
+        "conv_id", "turn_idx", "text")
+    src = giant.unionByName(tail).persist()
+    n_rows = src.count()
+
+    out = {"metric": "giant_conv_task_evidence", "giant_turns": giant_turns,
+           "n_normal_convs": n_normal, "n_rows_total": n_rows, "cpus": 8}
+    for label, kw in (("split_64", {"max_turns": 64}), ("unsplit", {})):
+        before = stage_ids()
+        t0 = time.time()
+        (extract_graph_instances(src, **kw)
+         .write.format("noop").mode("overwrite").save())
+        out[label + "_sec"] = round(time.time() - t0, 3)
+        out[label] = max_task_reads(stage_ids() - before)
+    out["max_task_records_ratio_unsplit_over_split"] = round(
+        out["unsplit"]["max_task_shuffle_records"]
+        / max(out["split_64"]["max_task_shuffle_records"], 1), 2)
+    out["wall_speedup_split"] = round(
+        out["unsplit_sec"] / max(out["split_64_sec"], 1e-9), 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
     {"skew": bench_skew, "skew_tasks": bench_skew_tasks, "cc": bench_cc,
-     "export": bench_export, "giant_conv": bench_giant_conv}[sys.argv[1]]()
+     "export": bench_export, "giant_conv": bench_giant_conv,
+     "giant_conv_tasks": bench_giant_conv_tasks}[sys.argv[1]]()

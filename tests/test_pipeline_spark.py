@@ -224,6 +224,33 @@ def test_merge_into_kg_matches_full_build(spark, transcripts):
     assert rows(id_edges) == rows(full_edges)
 
 
+def test_merge_lineage_matches_full_build(spark, transcripts):
+    """Bounded lineage composes: min-K of a union is recoverable from the
+    union of the min-Ks, so merge_lineage(lineage(A), B) equals
+    build_lineage(A ∪ B) bit-for-bit (sids arrays AND exact n_mentions)."""
+    from pyspark.sql import functions as F
+
+    from aser_spark.pipeline import extract_graph_instances
+    from aser_spark.pipeline.aggregate import (build_lineage,
+                                               nodes_from_instances)
+    from aser_spark.pipeline.graph import merge_lineage
+
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    inst_a = extract_graph_instances(transcripts.filter(half == 0))
+    inst_b = extract_graph_instances(transcripts.filter(half == 1))
+    lin_a = build_lineage(nodes_from_instances(inst_a), max_sids=8)
+    merged = merge_lineage(lin_a, inst_b, max_sids=8)
+
+    inst_full = extract_graph_instances(transcripts)
+    full = build_lineage(nodes_from_instances(inst_full), max_sids=8)
+
+    def rows(df):
+        return sorted((r.eid, tuple(r.sids), r.n_mentions)
+                      for r in df.collect())
+
+    assert rows(merged) == rows(full)
+
+
 def test_checkpoint_mode_mismatch_fails_fast(spark, transcripts, tmp_path):
     """Resuming a workdir under a different extraction mode must raise —
     the seed and discourse kernels emit different eids/relations."""

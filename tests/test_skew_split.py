@@ -67,10 +67,16 @@ def test_spark_split_identical_rows(spark, mode):
     assert whole == split
 
 
-def test_split_plan_two_exchanges(spark):
-    """The skew guard costs exactly two exchanges: the dense-rank window
-    pass (hash by conv_id — required for gap-safe chunking) and the pinned
-    gkey exchange feeding the UDF. No third shuffle may creep in."""
+def test_split_plan_no_conv_keyed_big_exchange(spark):
+    """Plan contract for the gap-safe two-phase rank: NO window over the
+    full row set may be keyed by conv_id alone (that single task would
+    scale with the pathological conversation — measured worse than the
+    unsplit kernel task, scale_evidence.py giant_conv_tasks).  The
+    row_number window partitions by (conv_id, bucket); the only
+    conv_id-keyed window is the prefix sum over the tiny per-bucket
+    counts table."""
+    import re
+
     from aser_spark.datagen import transcripts_df
     from aser_spark.pipeline.extract import extract_graph_instances
 
@@ -79,9 +85,15 @@ def test_split_plan_two_exchanges(spark):
     jvm = df.sparkSession._jvm
     p = df._jdf.queryExecution().explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
-    assert p.count("Exchange") == 2
     assert "REPARTITION_BY_NUM" in p
     assert "MapInPandas" in p
+    # the big-side row_number must be bucket-partitioned
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(conv_id#\d+, _b#\d+", p)
+    # exactly one conv_id-alone window spec: the _cnt prefix sum
+    solo = [m for m in re.findall(r"windowspecdefinition\(conv_id#\d+,"
+                                  r" (\w+)#\d+L? ASC", p)]
+    assert solo == ["_b"] and "sum(_cnt" in p
 
 
 @pytest.mark.parametrize("mode", ["seed", "discourse"])

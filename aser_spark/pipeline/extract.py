@@ -29,7 +29,73 @@ _REL_COLS = [f.name for f in RELATION_INSTANCE_SCHEMA.fields]
 _INST_COLS = [f.name for f in INSTANCE_SCHEMA.fields]
 
 
-def _sentence_cache(mode: str = "seed"):
+def _evict_sentence_memos(modes) -> None:
+    """Shared eviction path: drop the given modes' memos, make the frozen
+    objects collectable again, collect, and return the freed arenas to the
+    OS.  The malloc_trim matters as much as the collect — the observed
+    damage is resident-heap/allocator state, not reachable garbage
+    (BENCH/NOTES.md §r6)."""
+    import ctypes
+    import gc
+
+    dropped = False
+    for m in list(modes):
+        if m in _SENT_MEMOS:
+            del _SENT_MEMOS[m]
+            _MEMO_GEN.pop(m, None)
+            dropped = True
+    if not dropped:
+        return
+    gc.unfreeze()    # frozen memo objects become collectable again
+    _GC_TUNED.clear()  # next _freeze_longlived() re-freezes survivors
+    gc.collect()
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except OSError:
+        pass
+
+
+def release_extraction_memory(spark=None, n_tasks: int | None = None) -> None:
+    """Release the per-worker sentence-memo state (ALL modes) and return
+    the freed memory to the OS — in the reused python workers when a
+    SparkSession is given (via a tiny flush job that cycles the worker
+    pool), else in the calling process.
+
+    Why this exists: after an extraction stage's output is materialized,
+    the workers' resident memo state (up to 100-400MB each in discourse
+    mode — parse trees, separator tables) is pure liability.  Measured at
+    sf0.1 local[32]: the JVM aggregations right after a discourse extract
+    read 21-30s against a 2.5s healthy cost, and a warm same-mode rerun
+    of the extract itself read ~117s against 9.4s in fresh workers, with
+    every flanking JVM calib healthy — the resident worker heaps are the
+    slowdown, exactly the r6 cross-mode mechanism but within one mode.
+    A pipeline should call this between an extraction stage and unrelated
+    downstream stages; bench.py calls it per rep.
+
+    The flush job is best-effort: Spark hands tasks to idle pool workers,
+    so ``n_tasks`` (default 4x defaultParallelism) cycles the pool several
+    times over; a missed worker just keeps its memo (correctness is
+    unaffected — the memo is a pure-function cache)."""
+    if spark is None:
+        _evict_sentence_memos(list(_SENT_MEMOS))
+        return
+    import pandas as pd
+
+    sc = spark.sparkContext
+    if n_tasks is None:
+        n_tasks = sc.defaultParallelism * 4
+
+    def flush(batches):
+        _evict_sentence_memos(list(_SENT_MEMOS))
+        for b in batches:
+            pass
+        yield pd.DataFrame({"ok": [1]})
+
+    (spark.range(0, n_tasks, 1, n_tasks)
+     .mapInPandas(flush, schema="ok int").count())
+
+
+def _sentence_cache(mode: str = "seed", generation=None):
     """Per-worker memo of sentence -> (parsed, eventualities).
 
     ``mode='discourse'`` runs the v2.0 path instead: connective candidate
@@ -59,22 +125,23 @@ def _sentence_cache(mode: str = "seed"):
     did not recover it; eviction + trim does, measured back to 8.4s).
     Full forensics: BENCH/NOTES.md §r6.  Rebuilding an evicted memo later
     costs seconds; mixed-mode pipelines alternate per STAGE, not per
-    task, so thrash is bounded by the number of mode switches."""
-    if mode not in _SENT_MEMOS:
-        stale = [m for m in _SENT_MEMOS if m != mode]
-        if stale:
-            import ctypes
-            import gc
+    task, so thrash is bounded by the number of mode switches.
 
-            for m in stale:
-                del _SENT_MEMOS[m]
-            gc.unfreeze()    # frozen memo objects become collectable again
-            _GC_TUNED.clear()  # next _freeze_longlived() re-freezes survivors
-            gc.collect()
-            try:
-                ctypes.CDLL("libc.so.6").malloc_trim(0)
-            except OSError:
-                pass
+    ``generation``: SAME-mode eviction trigger (r7).  The damage above is
+    resident state, not mode mismatch — a warm same-mode RERUN of the
+    sf0.1 discourse extract measured ~117s vs 9.4s in fresh workers
+    (healthy flanking calibs both times).  Passing a generation value
+    different from the one the memo was built under evicts and rebuilds
+    it at task start, so repeated runs (bench reps, multi-batch
+    pipelines) each start in the fresh-worker regime.  None (default)
+    never forces eviction."""
+    fresh = (generation is not None
+             and mode in _SENT_MEMOS and _MEMO_GEN.get(mode) != generation)
+    if mode not in _SENT_MEMOS or fresh:
+        stale = [m for m in _SENT_MEMOS if m != mode]
+        if fresh:
+            stale.append(mode)
+        _evict_sentence_memos(stale)
         from functools import lru_cache
 
         from ..kernel import extract_sentence_eventualities
@@ -129,10 +196,12 @@ def _sentence_cache(mode: str = "seed"):
                 return p, evs
 
         _SENT_MEMOS[mode] = one
+        _MEMO_GEN[mode] = generation
     return _SENT_MEMOS[mode]
 
 
 _SENT_MEMOS: dict = {}
+_MEMO_GEN: dict = {}
 
 
 def _ev_record_to_row(conv_id, turn_idx, sent_idx, e):
@@ -391,7 +460,8 @@ def conversation_instance_rows(conv_id, turns, memo=None, mode="seed",
 
 
 def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
-                            mode="seed", max_turns=None, context_turns=2):
+                            mode="seed", max_turns=None, context_turns=2,
+                            memo_generation=None):
     """Fused flagship pass: transcripts -> unified node+edge instance rows.
 
     One shuffle (repartition by conv_id), one parse per turn, kernel
@@ -448,7 +518,9 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
     cols = ["turn_idx", "text"]
 
     def run_whole(batches):
-        memo = _sentence_cache(mode)  # evicts a stale mode FIRST
+        # evicts a stale mode — and, under a new memo_generation, this
+        # mode's own resident memo — FIRST
+        memo = _sentence_cache(mode, memo_generation)
         _freeze_longlived(mode)  # then freeze the survivors + new tables
         out = []
         for conv_id, rows in _conversation_stream(batches, cols):
@@ -468,7 +540,7 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
         raise ValueError(f"need max_turns > context_turns >= 0, got {m}, {k}")
 
     def run_chunks(batches):
-        memo = _sentence_cache(mode)  # evicts a stale mode FIRST
+        memo = _sentence_cache(mode, memo_generation)  # evict stale FIRST
         _freeze_longlived(mode)  # then freeze the survivors + new tables
         out = []
         chunk_cols = ["rk", "turn_idx", "text"]

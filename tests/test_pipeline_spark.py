@@ -224,6 +224,30 @@ def test_merge_into_kg_matches_full_build(spark, transcripts):
     assert rows(id_edges) == rows(full_edges)
 
 
+@pytest.mark.parametrize("mode", ["seed", "discourse"])
+def test_memo_generation_and_release_identical_rows(spark, transcripts, mode):
+    """The r7 worker-memory controls are pure memory management: bumping
+    memo_generation (same-mode evict at task start) and running the
+    release_extraction_memory flush job between runs must leave the
+    extraction output byte-identical."""
+    from aser_spark.pipeline.extract import (extract_graph_instances,
+                                             release_extraction_memory)
+
+    t = transcripts.limit(120)
+
+    def rows(**kw):
+        return sorted(map(repr,
+                          extract_graph_instances(t, mode=mode, **kw).collect()))
+
+    base = rows()
+    gen1 = rows(memo_generation=1)
+    release_extraction_memory(spark)
+    gen2 = rows(memo_generation=2)
+    # driver-side flush path too (covers the spark=None branch)
+    release_extraction_memory()
+    assert base == gen1 == gen2
+
+
 def test_merge_lineage_matches_full_build(spark, transcripts):
     """Bounded lineage composes: min-K of a union is recoverable from the
     union of the min-Ks, so merge_lineage(lineage(A), B) equals

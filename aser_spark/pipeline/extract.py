@@ -86,7 +86,14 @@ def release_extraction_memory(spark=None, n_tasks: int | None = None) -> None:
         n_tasks = sc.defaultParallelism * 4
 
     def flush(batches):
-        _evict_sentence_memos(list(_SENT_MEMOS))
+        # resolve the module globals at RUNTIME (inside the worker): a
+        # direct reference would make cloudpickle serialize _SENT_MEMOS by
+        # value with the closure — unpicklable lru_cache state — whenever
+        # the DRIVER process also holds memos (e.g. after driver-side
+        # kernel use in tests/serving)
+        from aser_spark.pipeline import extract as _ex
+
+        _ex._evict_sentence_memos(list(_ex._SENT_MEMOS))
         for b in batches:
             pass
         yield pd.DataFrame({"ok": [1]})

@@ -230,8 +230,14 @@ def test_memo_generation_and_release_identical_rows(spark, transcripts, mode):
     memo_generation (same-mode evict at task start) and running the
     release_extraction_memory flush job between runs must leave the
     extraction output byte-identical."""
-    from aser_spark.pipeline.extract import (extract_graph_instances,
+    from aser_spark.pipeline.extract import (_sentence_cache,
+                                             extract_graph_instances,
                                              release_extraction_memory)
+
+    # populate a DRIVER-side memo first: the flush closure must not
+    # capture _SENT_MEMOS by value (unpicklable lru_cache state) — the
+    # regression only surfaced when the driver process also held memos
+    _sentence_cache(mode)("the dog sees the cat.")
 
     t = transcripts.limit(120)
 

@@ -275,6 +275,33 @@ def _q_fingerprint_documents(spark, sf_dir):
     return document_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _q_pii_scrub_documents(spark, sf_dir):
+    """PII redaction (standard pre-training scrub): deterministic PII
+    strings (email/card/SSN/phone/IPv4 built from doc_id) are injected
+    into the document text IDENTICALLY on both engines, then scrub_pii —
+    a pure expression chain, no UDF, no shuffle — redacts them to typed
+    placeholders and counts matches per type on the original text.  The
+    injection exists because the synthetic corpus contains no real PII;
+    the oracle replays injection + counts + the ordered global
+    replacements in DuckDB (RE2) against Spark (Java regex) on the agreed
+    regex subset (ASCII classes, \\b, bounded quantifiers)."""
+    _ship_package(spark)
+    from aser_spark.textops import scrub_pii
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-867-5309 ssn 987-65-4320"
+                  " ip 10.0.0."),
+            F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+            F.lit(" card 4111-1111-1111-1111"),
+        ).alias("text"))
+    return scrub_pii(injected)
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     _ship_package(spark)
     from aser_spark.textops import ngram_jaccard_pairs
@@ -818,11 +845,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores_documents": _q_quality_scores_documents,
         "language_id_documents": _q_language_id_documents,
         "fingerprint_documents": _q_fingerprint_documents,
+        "pii_scrub_documents": _q_pii_scrub_documents,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_signatures": _q_minhash_signatures,
         "simhash_documents": _q_simhash_documents,
         "cosine_topk": _q_cosine_topk,
-        "lsh_signatures": _q_lsh_signatures,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -874,7 +901,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequency_sweep_users": _q_frequency_sweep_users,
         "ivf_ann_topk_trained": _q_ivf_ann_topk_trained,
         "parse_coverage_heldout": _q_parse_coverage_heldout,
+        "lsh_signatures": _q_lsh_signatures,
     }
+
+
+def _pii_scrub_sql() -> str:
+    """DuckDB replay of _q_pii_scrub_documents: identical injection,
+    per-type counts on the original text, ordered global replacements.
+    Built by plain %-formatting (the regexes contain literal braces that
+    an f-string would eat) from the SAME PII_PATTERNS tuple the Spark
+    operator applies, so the two sides cannot drift."""
+    from aser_spark.textops.quality import PII_PATTERNS
+
+    scrub = "text"
+    for _, pat, token in PII_PATTERNS:
+        scrub = "regexp_replace(%s, '%s', '%s', 'g')" % (scrub, pat, token)
+    counts = ",\n                   ".join(
+        "len(regexp_extract_all(text, '%s')) AS n_%s" % (pat, name)
+        for name, pat, _ in PII_PATTERNS)
+    return """
+            WITH injected AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com or 555-867-5309 ssn 987-65-4320 ip 10.0.0.'
+                       || CAST(doc_id %% 250 AS VARCHAR)
+                       || ' card 4111-1111-1111-1111' AS text
+              FROM documents WHERE doc_id < 300)
+            SELECT doc_id, %s AS text,
+                   %s
+            FROM injected
+        """ % (scrub, counts)
 
 
 _NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
@@ -1621,6 +1677,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(substr(t, 1, 64)) AS prefix_fingerprint
             FROM d
         """,
+        "pii_scrub_documents": _pii_scrub_sql(),
         "ngram_jaccard_pairs": f"""
             WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 150),
             g0 AS (SELECT DISTINCT doc_id, substr(t, i, 3) AS gram

@@ -91,3 +91,38 @@ def document_fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(t).alias("fingerprint"),
         F.md5(F.substring(t, 1, 64)).alias("prefix_fingerprint"),
     )
+
+
+# PII patterns, applied in this fixed order.  Kept to the regex subset on
+# which Spark's Java regex and DuckDB's RE2 agree exactly (ASCII \d, \b,
+# bounded quantifiers; no lookaround, no unicode classes) so the operator
+# is oracle-checkable engine-to-engine.  Order matters only for the
+# replacement pass (an earlier replacement must not synthesize a later
+# pattern — the tokens contain no digits); counts are measured per type
+# on the ORIGINAL text, independently.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+)
+
+
+def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the standard pre-training scrub pass (emails, card
+    numbers, SSNs, phone numbers, IPv4s -> typed placeholder tokens), as a
+    pure whole-stage-codegen expression chain: one projection, no UDF, no
+    shuffle — at 100 TB this is a scan-shaped pass that pipelines with
+    whatever reads follow it.
+
+    Output: (doc_id, text scrubbed, n_<type> match counts on the original
+    text).  Counts use regexp_count (JVM); replacements apply the patterns
+    in PII_PATTERNS order, each replacing ALL occurrences."""
+    t = F.col(text_col)
+    counts = [F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+              for name, pat, _ in PII_PATTERNS]
+    scrubbed = t
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return documents.select("doc_id", scrubbed.alias("text"), *counts)

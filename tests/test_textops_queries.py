@@ -242,3 +242,38 @@ def test_ivf_trained_deterministic_and_recall(spark):
     ann = {(q, rk): c for q, rk, c, _ in runs[0]}
     hits = sum(1 for key, cid in exact.items() if ann.get(key) == cid)
     assert hits / len(exact) >= 0.9          # trained lists find neighbors
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    """PII scrub: every pattern type redacts to its typed token with the
+    per-type count measured on the original text; near-miss strings
+    (dates, 2-2-4 number runs, bare domains) pass through untouched."""
+    from aser_spark.textops import scrub_pii
+
+    rows = [
+        (0, "write to alice.smith+tag@mail.example.co.uk today"),
+        (1, "card 4111-1111-1111-1111 and 5500 0000 0000 0004 ok"),
+        (2, "ssn 987-65-4320 phone 555-867-5309 ip 192.168.1.254"),
+        (3, "no pii: meeting 12-34-5678 on 2026-08-18 at example.com"),
+        (4, "two mails a@b.io c@d.org one ip 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+
+    assert got[0].text == "write to <EMAIL> today"
+    assert got[0].n_email == 1 and got[0].n_card == 0
+
+    assert got[1].text == "card <CARD> and <CARD> ok"
+    assert got[1].n_card == 2
+
+    assert got[2].text == "ssn <SSN> phone <PHONE> ip <IPV4>"
+    assert (got[2].n_ssn, got[2].n_phone, got[2].n_ipv4) == (1, 1, 1)
+
+    # near-misses: 2-2-4 run is neither ssn (3-2-4) nor phone (3-3-4);
+    # a date is not an ipv4; a bare domain is not an email
+    assert got[3].text == rows[3][1]
+    assert all(got[3][c] == 0 for c in
+               ("n_email", "n_card", "n_ssn", "n_phone", "n_ipv4"))
+
+    assert got[4].text == "two mails <EMAIL> <EMAIL> one ip <IPV4>"
+    assert got[4].n_email == 2 and got[4].n_ipv4 == 1

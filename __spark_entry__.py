@@ -302,6 +302,17 @@ def _q_pii_scrub_documents(spark, sf_dir):
     return scrub_pii(injected)
 
 
+def _q_repetition_stats_documents(spark, sf_dir):
+    """Repetition-based quality gates (Gopher/RefinedWeb duplicate-
+    fraction shape): duplicate-token and duplicate-bigram fractions as a
+    pure expression chain.  Tail query — the text-analysis family is
+    already graded via token_stats/quality_scores."""
+    _ship_package(spark)
+    from aser_spark.textops import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     _ship_package(spark)
     from aser_spark.textops import ngram_jaccard_pairs
@@ -902,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk_trained": _q_ivf_ann_topk_trained,
         "parse_coverage_heldout": _q_parse_coverage_heldout,
         "lsh_signatures": _q_lsh_signatures,
+        "repetition_stats_documents": _q_repetition_stats_documents,
     }
 
 
@@ -1678,6 +1690,22 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "pii_scrub_documents": _pii_scrub_sql(),
+        "repetition_stats_documents": f"""
+            WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            tk AS (SELECT doc_id, string_split(t, ' ') AS tok FROM d),
+            b AS (SELECT doc_id, tok,
+                         list_transform(range(1, len(tok)),
+                                        i -> tok[i] || ' ' || tok[i+1]) AS bg
+                  FROM tk)
+            SELECT doc_id, len(tok) AS n_tokens,
+                   ROUND(1 - len(list_distinct(tok))
+                         / CAST(len(tok) AS DOUBLE), 6) AS dup_token_ratio,
+                   CASE WHEN len(bg) = 0 THEN 0.0
+                        ELSE ROUND(1 - len(list_distinct(bg))
+                                   / CAST(len(bg) AS DOUBLE), 6)
+                   END AS dup_bigram_ratio
+            FROM b
+        """,
         "ngram_jaccard_pairs": f"""
             WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 150),
             g0 AS (SELECT DISTINCT doc_id, substr(t, i, 3) AS gram

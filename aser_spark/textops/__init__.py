@@ -11,8 +11,8 @@ reproduce values bit-for-bit.
 
 from .dedup import (exact_duplicates, minhash_signatures, lsh_candidate_pairs,
                     near_dup_groups, ngram_jaccard_pairs, simhash)
-from .quality import (document_fingerprint, language_id, quality_scores, scrub_pii,
-                      token_stats)
+from .quality import (document_fingerprint, language_id, quality_scores,
+                      repetition_stats, scrub_pii, token_stats)
 from .selection import (benchmark_contamination, hash_sample,
                         pack_documents, stratified_hash_sample)
 from .similarity import (brute_force_cosine_topk, embedding_near_duplicates,

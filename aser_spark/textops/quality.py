@@ -126,3 +126,31 @@ def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pat, token in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return documents.select("doc_id", scrubbed.alias("text"), *counts)
+
+
+def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality features — the duplicate-fraction gates
+    standard pre-training filters apply (Gopher/RefinedWeb shape):
+    duplicate-token fraction and duplicate-bigram fraction over the
+    normalized text.  Pure expression chain (array ops inside whole-stage
+    codegen), no UDF, no shuffle — scan-shaped at any scale."""
+    t = _norm(F.col(text_col))
+    d = documents.select("doc_id", F.split(t, " ").alias("_tok"))
+    big = F.expr(
+        "CASE WHEN size(_tok) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(_tok) - 1), "
+        "     i -> concat(element_at(_tok, i), ' ', element_at(_tok, i + 1))) "
+        "END")
+    n = F.size("_tok")
+    nd = F.size(F.array_distinct("_tok"))
+    out = d.select(
+        "doc_id", n.alias("n_tokens"),
+        F.round(F.lit(1) - nd / n, 6).alias("dup_token_ratio"),
+        big.alias("_bg"))
+    nb = F.size("_bg")
+    ndb = F.size(F.array_distinct("_bg"))
+    return out.select(
+        "doc_id", "n_tokens", "dup_token_ratio",
+        F.when(nb == 0, F.lit(0.0))
+         .otherwise(F.round(F.lit(1) - ndb / nb, 6))
+         .alias("dup_bigram_ratio"))

@@ -277,3 +277,19 @@ def test_scrub_pii_redacts_and_counts(spark):
 
     assert got[4].text == "two mails <EMAIL> <EMAIL> one ip <IPV4>"
     assert got[4].n_email == 2 and got[4].n_ipv4 == 1
+
+
+def test_repetition_stats_known_values(spark):
+    from aser_spark.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b a b c"),     # 5 tokens 3 distinct; bigrams 4, 3 distinct
+         (1, "unique words only here"),
+         (2, "x")],            # single token: bigram ratio defined as 0.0
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[0].n_tokens == 5
+    assert abs(got[0].dup_token_ratio - (1 - 3 / 5)) < 1e-9
+    assert abs(got[0].dup_bigram_ratio - (1 - 3 / 4)) < 1e-9
+    assert got[1].dup_token_ratio == 0.0 and got[1].dup_bigram_ratio == 0.0
+    assert got[2].n_tokens == 1 and got[2].dup_bigram_ratio == 0.0

@@ -517,6 +517,14 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
     ``context_turns=2`` covers whenever two adjacent turns jointly contain
     >=2 sentences and >=10 tokens + the boundary sentence (any realistic
     transcript; raise it for corpora of one-word turns).
+
+    Precondition (both paths): ``(conv_id, turn_idx)`` is a key.  With
+    duplicate turn indices the within-turn order is undefined in the
+    unsplit path already (the conversation stream sorts by turn_idx
+    only), and under the guard the row_number tie-break may additionally
+    place duplicates in different chunks run-to-run; the bucket bound
+    (<= 4096 rows per (conv, bucket) window partition) also assumes
+    distinct indices.  Deduplicate or re-index malformed corpora first.
     """
     import pandas as pd
 

@@ -313,6 +313,69 @@ def _q_repetition_stats_documents(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization + per-session rollup over the events
+    stream — the transcript/clickstream preprocessing shape (session
+    boundaries, then per-session stats) every training-data pipeline
+    needs before per-session sampling or packing.  Windows partitioned
+    by user_id only: one hash exchange, no global ordering anywhere."""
+    _ship_package(spark)
+    from aser_spark.eventops import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_sec=1800)
+
+
+def _q_kg_pagerank(spark, sf_dir):
+    """Weighted PageRank over the aggregated KG edge list (hid -> tid,
+    weight): eventuality centrality under the discourse-relation graph —
+    the reference exposes degree-style stats only
+    (kg_connection.py:631-668 get_related_eventualities); a corpus-scale
+    KG needs a global importance measure.  Five pinned power iterations
+    (see graphops.pagerank) so the DuckDB oracle replays the exact value
+    with the loop unrolled in SQL."""
+    _ship_package(spark)
+    from aser_spark.graphops import pagerank
+
+    edges = _kg(spark)["edges"]
+    return pagerank(edges, src="hid", dst="tid", weight="weight",
+                    iters=5).withColumnRenamed("node", "eid")
+
+
+def _q_triangle_enum_orders(spark, sf_dir):
+    """Degree-ordered triangle enumeration (Suri & Vassilvitskii wedge
+    join) on a deterministic mod-97 projection of the orders table —
+    the clustering-coefficient primitive for KG density analysis; the
+    oriented wedge join survives power-law hubs where the naive
+    three-way self-join explodes."""
+    _ship_package(spark)
+    from aser_spark.graphops import enumerate_triangles
+
+    g = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 97).alias("src"),
+        (F.col("o_orderkey") % 97).alias("dst"))
+    return enumerate_triangles(g)
+
+
+def _q_unigram_logprob_documents(spark, sf_dir):
+    """Self-perplexity quality gate: average log unigram probability per
+    document with the model estimated from the same corpus (KenLM-style
+    gate without a model binary)."""
+    _ship_package(spark)
+    from aser_spark.textops.lm import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _q_tfidf_top_terms_documents(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — keyword-profile extraction for
+    corpus curation; deterministic rounded-score ranking so the cut is
+    engine-portable."""
+    _ship_package(spark)
+    from aser_spark.textops.lm import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     _ship_package(spark)
     from aser_spark.textops import ngram_jaccard_pairs
@@ -858,12 +921,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": _q_fingerprint_documents,
         "pii_scrub_documents": _q_pii_scrub_documents,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
-        "minhash_signatures": _q_minhash_signatures,
         "simhash_documents": _q_simhash_documents,
         "cosine_topk": _q_cosine_topk,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
-        "embedding_near_dups": _q_embedding_near_dups,
+        # r7: two NEW operator families graded (analytics the reference
+        # lacks): KG PageRank and event sessionization.  They displace
+        # minhash_signatures (family stays graded via lsh_candidate_pairs
+        # + near_dup_groups) and embedding_near_dups (family stays graded
+        # via lsh_ann_topk) into the documented tail below.
+        "kg_pagerank": _q_kg_pagerank,
+        "event_sessions": _q_event_sessions,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_nodes_discourse": _q_kg_nodes_discourse,
@@ -914,6 +982,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_coverage_heldout": _q_parse_coverage_heldout,
         "lsh_signatures": _q_lsh_signatures,
         "repetition_stats_documents": _q_repetition_stats_documents,
+        "minhash_signatures": _q_minhash_signatures,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "triangle_enum_orders": _q_triangle_enum_orders,
+        "unigram_logprob_documents": _q_unigram_logprob_documents,
+        "tfidf_top_terms_documents": _q_tfidf_top_terms_documents,
     }
 
 
@@ -1078,6 +1151,41 @@ def _wide_sense_cols_sql() -> str:
         f" AS {s}" for s in RELATION_SENSES)
 
 
+def _pagerank_sql(edges_sql: str, node_alias: str = "node",
+                  iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-SQL replay of graphops.pagerank's pinned arithmetic.
+    ``edges_sql`` must yield (src, dst, w).  Every division/round matches
+    the Spark operator's association and 12dp HALF_UP pins exactly, so
+    the value is engine-independent (see pagerank's pin_dp contract)."""
+    d = repr(damping)
+    ctes = [
+        f"e AS (SELECT src, dst, SUM(w) AS w FROM ({edges_sql}) "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL GROUP BY src, dst)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT COUNT(*) * 1.0 AS n FROM nodes)",
+        "ow AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src)",
+        "en AS (SELECT src, dst, ROUND(w / out_w, 12) AS share "
+        "FROM e JOIN ow USING (src))",
+        "r0 AS (SELECT node, ROUND(1.0 / n, 12) AS rank FROM nodes, nn)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"d{k} AS (SELECT ROUND(COALESCE(SUM(rank), 0.0), 12) AS dm "
+            f"FROM r{k} WHERE node NOT IN (SELECT src FROM ow))")
+        ctes.append(
+            f"c{k} AS (SELECT en.dst AS node, SUM(r{k}.rank * en.share) AS c "
+            f"FROM r{k} JOIN en ON r{k}.node = en.src GROUP BY en.dst)")
+        ctes.append(
+            f"r{k + 1} AS (SELECT nodes.node, "
+            f"ROUND(((1.0 - {d}) / n + {d} * dm / n) + {d} * COALESCE(c, 0.0), 12)"
+            f" AS rank "
+            f"FROM nodes CROSS JOIN nn CROSS JOIN d{k} "
+            f"LEFT JOIN c{k} ON c{k}.node = nodes.node)")
+    return ("WITH " + ",\n            ".join(ctes) +
+            f"\n            SELECT node AS {node_alias}, ROUND(rank, 6) AS rank"
+            f" FROM r{iters}")
+
+
 def _kg_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for the KG pipeline: read the pure-Python-staged
     instances/probase/kb/media parquet (see aser_spark/oracle_stage.py) and
@@ -1142,6 +1250,9 @@ def _kg_oracle_sql() -> dict[str, str]:
         "kg_edges": f"""
             SELECT hid, tid, sense, ROUND(weight, 4) AS weight FROM {edges_agg} e
         """,
+        "kg_pagerank": _pagerank_sql(
+            f"SELECT hid AS src, tid AS dst, weight AS w FROM {edges_agg} e",
+            node_alias="eid"),
         "kg_nodes_discourse": f"""
             SELECT eid, MIN(words) AS eventuality, MIN(pattern) AS pattern,
                    SUM(frequency) AS frequency
@@ -1460,6 +1571,71 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         **_kg_oracle_sql(),
+        "event_sessions": """
+            WITH ev AS (SELECT user_id, event_id, value,
+                               CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+                        FROM events),
+            s AS (SELECT user_id, event_id, value, tsec,
+                         CASE WHEN lag(tsec) OVER w IS NULL
+                                   OR tsec - lag(tsec) OVER w > 1800
+                              THEN 1 ELSE 0 END AS is_new
+                  FROM ev
+                  WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+            s2 AS (SELECT user_id, value, tsec,
+                          CAST(SUM(is_new) OVER (
+                            PARTITION BY user_id ORDER BY tsec, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                   FROM s)
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   MIN(tsec) AS start_sec,
+                   MAX(tsec) - MIN(tsec) AS span_sec,
+                   ROUND(SUM(value), 4) AS total_value
+            FROM s2 GROUP BY user_id, session_idx
+        """,
+        "triangle_enum_orders": """
+            WITH g AS (SELECT o_custkey % 97 AS src, o_orderkey % 97 AS dst
+                       FROM orders),
+            e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                  FROM g WHERE src <> dst)
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "unigram_logprob_documents": f"""
+            WITH tok AS (
+              SELECT doc_id, token FROM (
+                SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+                FROM documents)
+              WHERE len(token) > 0),
+            counts AS (SELECT token, COUNT(*) AS tok_count
+                       FROM tok GROUP BY token),
+            tot AS (SELECT SUM(tok_count) * 1.0 AS total FROM counts)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(LN(tok_count / total)), 6) AS avg_logprob
+            FROM tok JOIN counts USING (token), tot
+            GROUP BY doc_id
+        """,
+        "tfidf_top_terms_documents": f"""
+            WITH tok AS (
+              SELECT doc_id, token FROM (
+                SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+                FROM documents)
+              WHERE len(token) > 0),
+            nd AS (SELECT COUNT(DISTINCT doc_id) * 1.0 AS n_docs FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+                    FROM tok GROUP BY token),
+            sc AS (SELECT doc_id, token, ROUND(tf * LN(n_docs / df), 6) AS tfidf
+                   FROM tf JOIN dfq USING (token), nd)
+            SELECT doc_id, CAST(rnk AS INT) AS rank, token, tfidf
+            FROM (SELECT doc_id, token, tfidf,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token ASC) AS rnk
+                  FROM sc)
+            WHERE rnk <= 3
+        """,
         "lsh_candidate_pairs": grams4 + f"""
             , mh AS (
               SELECT doc_id, CAST(p.perm AS INT) AS perm,

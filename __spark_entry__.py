@@ -376,6 +376,36 @@ def _q_tfidf_top_terms_documents(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def _q_asof_purchase_attribution(spark, sf_dir):
+    """Keyed as-of join (the operator Spark lacks; pandas merge_asof /
+    DuckDB ASOF JOIN): each click event attributed to the user's most
+    recent purchase within 2 hours.  Union+window implementation — one
+    hash exchange on user_id, NO range-join candidate blowup (see
+    eventops.asof_join).  Right side pre-aggregated per (user_id, sec)
+    so the as-of match is well-defined on both engines."""
+    _ship_package(spark)
+    from aser_spark.eventops import _epoch_sec, asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = (ev.filter(F.col("event_type") == "click")
+            .select("user_id", _epoch_sec(F.col("ts")).alias("t"),
+                    "event_id", "value"))
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", _epoch_sec(F.col("ts")).alias("t"))
+             .agg(F.round(F.sum("value"), 4).alias("purchase_value"),
+                  F.count("*").alias("n_purchases")))
+    j = asof_join(left, right, on="t", by=("user_id",),
+                  direction="backward", tolerance=7200)
+    # unmatched rows make t_r/n_purchases_r nullable INTS, which pandas
+    # (the oracle materialization) silently widens to float64 — pin the
+    # comparison by sentinel-coalescing the int columns on BOTH engines
+    return j.select(
+        "user_id", "t", "event_id", "value",
+        F.coalesce(F.col("t_r"), F.lit(-1)).alias("t_r"),
+        "purchase_value_r",
+        F.coalesce(F.col("n_purchases_r"), F.lit(-1)).alias("n_purchases_r"))
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     _ship_package(spark)
     from aser_spark.textops import ngram_jaccard_pairs
@@ -932,6 +962,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via lsh_ann_topk) into the documented tail below.
         "kg_pagerank": _q_kg_pagerank,
         "event_sessions": _q_event_sessions,
+        # r7: keyed as-of join (new J-family operator) graded; displaces
+        # kg_top_edges_per_sense (window-top-k family stays graded via
+        # kg_top_related / cosine_topk / ivf_ann_topk) into the tail.
+        "asof_purchase_attribution": _q_asof_purchase_attribution,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_nodes_discourse": _q_kg_nodes_discourse,
@@ -941,7 +975,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sense_histogram": _q_kg_sense_histogram,
         "kg_edges_wide": _q_kg_edges_wide,
         "kg_partial_match": _q_kg_partial_match,
-        "kg_top_edges_per_sense": _q_kg_top_edges_per_sense,
         "kg_top_related": _q_kg_top_related,
         "kg_lineage": _q_kg_lineage,
         "kg_concepts": _q_kg_concepts,
@@ -987,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_enum_orders": _q_triangle_enum_orders,
         "unigram_logprob_documents": _q_unigram_logprob_documents,
         "tfidf_top_terms_documents": _q_tfidf_top_terms_documents,
+        "kg_top_edges_per_sense": _q_kg_top_edges_per_sense,
     }
 
 
@@ -1591,6 +1625,28 @@ def oracle_sql() -> dict[str, str]:
                    MAX(tsec) - MIN(tsec) AS span_sec,
                    ROUND(SUM(value), 4) AS total_value
             FROM s2 GROUP BY user_id, session_idx
+        """,
+        "asof_purchase_attribution": """
+            WITH ev AS (SELECT user_id, event_id, event_type, value,
+                               CAST(floor(epoch(ts)) AS BIGINT) AS t
+                        FROM events),
+            l AS (SELECT user_id, t, event_id, value FROM ev
+                  WHERE event_type = 'click'),
+            r AS (SELECT user_id, t, ROUND(SUM(value), 4) AS purchase_value,
+                         COUNT(*) AS n_purchases
+                  FROM ev WHERE event_type = 'purchase'
+                  GROUP BY user_id, t),
+            j AS (SELECT l.user_id, l.t, l.event_id, l.value,
+                         r.t AS rt, r.purchase_value, r.n_purchases
+                  FROM l ASOF LEFT JOIN r
+                    ON l.user_id = r.user_id AND l.t >= r.t)
+            SELECT user_id, t, event_id, value,
+                   COALESCE(CASE WHEN t - rt <= 7200 THEN rt END, -1) AS t_r,
+                   CASE WHEN t - rt <= 7200 THEN purchase_value END
+                     AS purchase_value_r,
+                   COALESCE(CASE WHEN t - rt <= 7200 THEN n_purchases END, -1)
+                     AS n_purchases_r
+            FROM j
         """,
         "triangle_enum_orders": """
             WITH g AS (SELECT o_custkey % 97 AS src, o_orderkey % 97 AS dst

@@ -221,3 +221,51 @@ def test_tfidf_top_terms(spark):
             key=lambda x: (-x[0], x[1]))[:2]
         want = [(rk + 1, w, s) for rk, (s, w) in enumerate(scored)]
         assert got[i] == want
+
+
+# -------------------------------------------------------------- asof join
+
+def _py_asof(lrows, rrows, direction="backward", tolerance=None):
+    """lrows: (uid, t, lval); rrows: (uid, t, rval) unique per (uid, t).
+    Returns {(uid, t, lval): (rt, rval) or None}."""
+    out = {}
+    for uid, t, lv in lrows:
+        cands = [(rt, rv) for ruid, rt, rv in rrows if ruid == uid
+                 and (rt <= t if direction == "backward" else rt >= t)
+                 and (tolerance is None or abs(rt - t) <= tolerance)]
+        if cands:
+            best = min(cands, key=lambda c: abs(c[0] - t))
+            out[(uid, t, lv)] = best
+        else:
+            out[(uid, t, lv)] = None
+    return out
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    from aser_spark.eventops import asof_join
+
+    rng = random.Random(17)
+    lrows = [(rng.randrange(6), rng.randrange(100), i) for i in range(120)]
+    rrows = list({(uid, t): (uid, t, 1000 + i) for i, (uid, t) in enumerate(
+        (rng.randrange(6), rng.randrange(100)) for _ in range(80))}.values())
+    ldf = spark.createDataFrame(lrows, "user_id long, t long, lval long")
+    rdf = spark.createDataFrame(rrows, "user_id long, t long, rval long")
+    for direction in ("backward", "forward"):
+        for tol in (None, 10):
+            got = {(r["user_id"], r["t"], r["lval"]):
+                   (None if r["t_r"] is None else (r["t_r"], r["rval_r"]))
+                   for r in asof_join(ldf, rdf, on="t", by=("user_id",),
+                                      direction=direction,
+                                      tolerance=tol).collect()}
+            want = _py_asof(lrows, rrows, direction, tol)
+            assert got == want, (direction, tol)
+
+
+def test_asof_join_exact_match_inclusive(spark):
+    from aser_spark.eventops import asof_join
+
+    ldf = spark.createDataFrame([(1, 50, 0)], "user_id long, t long, lval long")
+    rdf = spark.createDataFrame([(1, 50, 7), (1, 40, 8)],
+                                "user_id long, t long, rval long")
+    row = asof_join(ldf, rdf, on="t").collect()[0]
+    assert (row["t_r"], row["rval_r"]) == (50, 7)

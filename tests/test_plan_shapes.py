@@ -241,3 +241,30 @@ def test_probase_join_strategy_flips_past_broadcast_size(spark):
             probase_concepts(nodes, pb, broadcast=True), "simple")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_asof_join_single_exchange_no_cartesian(spark):
+    """The as-of join must stay ONE hash exchange on the by-key (the
+    union+window form) — a range θ-join would surface as
+    CartesianProduct / BroadcastNestedLoopJoin and explode on hot keys."""
+    from aser_spark.eventops import asof_join
+
+    l = spark.createDataFrame([(1, 10, 0)], "user_id long, t long, lv long")
+    r = spark.createDataFrame([(1, 5, 1)], "user_id long, t long, rv long")
+    p = _plan(asof_join(l, r, on="t"), "simple")
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p
+    assert p.count("Window") == 1
+
+
+def test_pagerank_and_triangles_equijoin_only(spark):
+    """PageRank's per-iteration rank⋈edges and the triangle wedge join
+    are equi-joins — any nested-loop/cartesian in the plan means a
+    regression that cannot survive a power-law 100 TB graph."""
+    from aser_spark.graphops import enumerate_triangles, pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    for df in (pagerank(e, iters=1), enumerate_triangles(e)):
+        p = _plan(df, "simple")
+        assert "CartesianProduct" not in p
+        assert "NestedLoop" not in p

@@ -313,6 +313,39 @@ def _q_repetition_stats_documents(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_doc_length_quantiles(spark, sf_dir):
+    """Per-language exact length quantiles (quantile_cont semantics) via
+    the distributed histogram + covering-row interpolation in
+    textops.grouped_quantiles — NOT Spark's exact ``percentile``, which
+    buffers every group value in one task.  The DuckDB oracle is that
+    engine's own native quantile_cont — an independent implementation of
+    the same definition.  Tail query — the text-analysis family is
+    already graded via token_stats/quality_scores."""
+    _ship_package(spark)
+    from aser_spark.textops import grouped_quantiles
+    from aser_spark.textops.quality import _norm
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split(_norm(F.col("text")), " ")).alias("n"))
+    return grouped_quantiles(d, "n", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+                             group_col="lang")
+
+
+def _q_budget_select_documents(spark, sf_dir):
+    """Token-budget corpus selection: per language, keep the highest
+    quality-scored documents while the running token total stays within
+    budget (the data-mixing gate).  Distributed prefix sum over score
+    buckets — no per-language single-task window (see
+    textops.selection.budget_select).  Tail query — the selection family
+    is already graded via stratified_sample/pack/decontaminate."""
+    _ship_package(spark)
+    from aser_spark.textops import budget_select
+    from aser_spark.textops.quality import scored_documents
+
+    scored = scored_documents(_t(spark, sf_dir, "documents"))
+    return budget_select(scored, budget_tokens=2000)
+
+
 def _q_event_sessions(spark, sf_dir):
     """Gap-based sessionization + per-session rollup over the events
     stream — the transcript/clickstream preprocessing shape (session
@@ -1021,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_documents": _q_unigram_logprob_documents,
         "tfidf_top_terms_documents": _q_tfidf_top_terms_documents,
         "kg_top_edges_per_sense": _q_kg_top_edges_per_sense,
+        "doc_length_quantiles": _q_doc_length_quantiles,
+        "budget_select_documents": _q_budget_select_documents,
     }
 
 
@@ -1937,6 +1972,45 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(len(bg) AS DOUBLE), 6)
                    END AS dup_bigram_ratio
             FROM b
+        """,
+        "doc_length_quantiles": f"""
+            WITH d AS (SELECT lang,
+                   CAST(len(string_split({_NORM_SQL}, ' ')) AS DOUBLE) AS v
+                   FROM documents),
+            a AS (SELECT lang,
+                   [0.1, 0.25, 0.5, 0.75, 0.9, 0.99] AS ps,
+                   quantile_cont(v, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+                  FROM d GROUP BY lang)
+            SELECT lang, CAST(unnest(ps) AS DOUBLE) AS prob,
+                   ROUND(unnest(qs), 6) AS quantile
+            FROM a
+        """,
+        "budget_select_documents": f"""
+            WITH d AS (SELECT doc_id, lang, {_NORM_SQL} AS t FROM documents),
+            f AS (
+              SELECT doc_id, lang, length(t) AS n_chars,
+                     length(t) - length(regexp_replace(t, '[^\\w\\s]', '', 'g')) AS n_punct,
+                     length(t) - length(regexp_replace(t, '[^0-9]', '', 'g')) AS n_digit,
+                     len(string_split(t, ' ')) AS n_tok,
+                     len(list_filter(string_split(t, ' '), x -> x IN {_EN_STOP})) AS n_stop
+              FROM d),
+            s AS (
+              SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_ws_tokens,
+                     ROUND(1.0
+                       - least(ROUND(n_punct / greatest(n_chars, 1), 6) * 2, 0.5)
+                       - least(ROUND(n_digit / greatest(n_chars, 1), 6) * 2, 0.3)
+                       + least(ROUND(n_stop / greatest(n_tok, 1), 6), 0.2), 6) AS quality_score
+              FROM f),
+            w AS (
+              SELECT doc_id, lang, quality_score, n_ws_tokens,
+                     CAST(SUM(n_ws_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY quality_score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_tokens
+              FROM s)
+            SELECT doc_id, lang, quality_score, n_ws_tokens, cum_tokens
+            FROM w WHERE cum_tokens <= 2000
         """,
         "ngram_jaccard_pairs": f"""
             WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 150),

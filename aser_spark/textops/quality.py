@@ -5,7 +5,7 @@ DuckDB-reproducible formulation for the correctness oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _WS = r"\s+"
 _WORD = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -34,10 +34,11 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
-    """Length/punctuation/digit/stopword ratio features + a composite score
-    (the standard pre-training quality gate shape)."""
-    t = _norm(F.col("text"))
+def _quality_exprs(text_col="text"):
+    """The quality-gate feature expressions over one normalized text column
+    (shared by quality_scores and scored_documents so composed pipelines
+    compute the identical score in a single projection)."""
+    t = _norm(F.col(text_col))
     n_chars = F.length(t)
     strip = lambda pat: (n_chars - F.length(F.regexp_replace(t, pat, "")))
     n_punct = strip(r"[^\w\s]")
@@ -56,10 +57,38 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         + F.least(stop_ratio, F.lit(0.2)),
         6,
     )
+    return {
+        "punct_ratio": punct_ratio, "digit_ratio": digit_ratio,
+        "stopword_ratio": stop_ratio, "mean_token_len": mean_tok_len,
+        "quality_score": score, "n_ws_tokens": n_tok,
+    }
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Length/punctuation/digit/stopword ratio features + a composite score
+    (the standard pre-training quality gate shape)."""
+    e = _quality_exprs()
     return documents.select(
-        "doc_id", punct_ratio.alias("punct_ratio"), digit_ratio.alias("digit_ratio"),
-        stop_ratio.alias("stopword_ratio"), mean_tok_len.alias("mean_token_len"),
-        score.alias("quality_score"),
+        "doc_id", e["punct_ratio"].alias("punct_ratio"),
+        e["digit_ratio"].alias("digit_ratio"),
+        e["stopword_ratio"].alias("stopword_ratio"),
+        e["mean_token_len"].alias("mean_token_len"),
+        e["quality_score"].alias("quality_score"),
+    )
+
+
+def scored_documents(documents: DataFrame,
+                     strata_col: str = "lang") -> DataFrame:
+    """(doc_id, <stratum>, n_ws_tokens, quality_score) in ONE projection —
+    the input shape budget_select consumes.  Composing quality_scores with
+    token_stats would re-join on doc_id (a shuffle the single scan
+    avoids); the expressions here are the same objects quality_scores
+    builds, so the scores are identical by construction."""
+    e = _quality_exprs()
+    return documents.select(
+        "doc_id", strata_col,
+        e["n_ws_tokens"].cast("long").alias("n_ws_tokens"),
+        e["quality_score"].alias("quality_score"),
     )
 
 
@@ -154,3 +183,54 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(nb == 0, F.lit(0.0))
          .otherwise(F.round(F.lit(1) - ndb / nb, 6))
          .alias("dup_bigram_ratio"))
+
+
+def grouped_quantiles(df: DataFrame, value_col: str, probs: list,
+                      group_col: str = "lang") -> DataFrame:
+    """Exact per-group quantiles with linear interpolation (the
+    quantile_cont / numpy-linear definition: h = p*(n-1), interpolate
+    between the floor(h)-th and ceil(h)-th order statistics) — the
+    corpus-distribution profile every curation run reports (length
+    percentiles per language/source before setting filter thresholds).
+
+    Scale shape — a HISTOGRAM, not a per-group sort: Spark's exact
+    ``percentile`` aggregate buffers every value of a group in one task's
+    memory, which a 100 TB group kills.  Here the only shuffle is the
+    map-side-combining groupBy(group, value) — for discrete-ish domains
+    (token counts, char lengths, scores at fixed precision) that compact
+    histogram is orders of magnitude smaller than the data — followed by
+    a cumulative window over the histogram rows and one broadcast join of
+    the tiny (group × prob) index table against the covering rows.
+
+    Output: (``group_col``, prob, quantile), one row per group × prob.
+    """
+    spark = df.sparkSession
+    vals = df.select(F.col(group_col).alias(group_col),
+                     F.col(value_col).cast("double").alias("_v"))
+    hist = vals.groupBy(group_col, "_v").agg(F.count("*").alias("_cnt"))
+    w = (Window.partitionBy(group_col).orderBy("_v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # _nxt (the next distinct value) makes the upper order statistic
+    # available on the SAME covering row, so one join serves both ends of
+    # the interpolation
+    hist = (hist.withColumn("_cum", F.sum("_cnt").over(w))
+            .withColumn("_nxt", F.lead("_v").over(
+                Window.partitionBy(group_col).orderBy("_v"))))
+    totals = hist.groupBy(group_col).agg(F.max("_cum").alias("_n"))
+    probs_df = spark.createDataFrame([(float(p),) for p in probs],
+                                     "prob double")
+    keyed = (totals.crossJoin(F.broadcast(probs_df))
+             .withColumn("_h", F.col("prob") * (F.col("_n") - 1))
+             .withColumn("_k_lo", F.floor("_h"))
+             .withColumn("_k_hi", F.ceil("_h"))
+             .withColumnRenamed(group_col, "_g"))
+    # the histogram row covering 0-based index k spans [_cum-_cnt, _cum-1]
+    j = hist.join(
+        F.broadcast(keyed),
+        (F.col(group_col) == F.col("_g"))
+        & (F.col("_k_lo") >= F.col("_cum") - F.col("_cnt"))
+        & (F.col("_k_lo") <= F.col("_cum") - 1))
+    v_hi = F.when(F.col("_k_hi") <= F.col("_cum") - 1, F.col("_v")) \
+            .otherwise(F.col("_nxt"))
+    q = F.col("_v") + (F.col("_h") - F.col("_k_lo")) * (v_hi - F.col("_v"))
+    return j.select(group_col, "prob", F.round(q, 6).alias("quantile"))

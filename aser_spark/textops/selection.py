@@ -122,5 +122,63 @@ def pack_documents(documents: DataFrame, seq_len: int,
     )
 
 
-__all__ = ["benchmark_contamination", "hash_sample",
+def budget_select(scored: DataFrame, budget_tokens: int,
+                  strata_col: str = "lang",
+                  score_col: str = "quality_score",
+                  token_col: str = "n_ws_tokens",
+                  key_col: str = "doc_id",
+                  bucket_width: float = 0.001) -> DataFrame:
+    """Token-budget corpus selection (the data-mixing gate): within each
+    stratum keep the highest-``score_col`` documents whose running token
+    total stays within ``budget_tokens``, ordering (score DESC, key ASC)
+    for a deterministic cut.
+
+    Scale shape — pack_documents' distributed prefix sum transposed onto a
+    rank ordering: the naive ``SUM(tokens) OVER (PARTITION BY stratum
+    ORDER BY score DESC)`` funnels each stratum through ONE task, and a
+    stratum at 100 TB is most of the corpus.  Instead the score domain is
+    cut into deterministic ``bucket_width`` ranges (scores are 6dp-rounded,
+    so the integer-scaled cut is exact — no fp boundary ambiguity):
+    per-(stratum, bucket) running sums run in parallel, the tiny
+    per-bucket totals table is prefix-summed per stratum, and a broadcast
+    join adds the bucket base back.  Documents tied on score never
+    straddle buckets (equal score ⇒ equal bucket), so the global order is
+    exactly (score DESC, key ASC).
+
+    Output: (key, stratum, score, tokens, cum_tokens) for kept documents.
+    """
+    s = F.col(score_col)
+    # integer-scaled score: 6dp scores scale exactly; OFFSET keeps the
+    # bucket id positive so `div` (truncating division) stays monotone
+    si = F.round(s * 1_000_000).cast("long")
+    step = max(int(round(bucket_width * 1_000_000)), 1)
+    offset = 1 << 40
+    # `div` is integral long division (same exactness rationale as
+    # pack_documents' shard id)
+    d = (scored.withColumn("_si", si)
+         .withColumn("_bucket", F.expr(f"({offset}L - _si) div {step}"))
+         .drop("_si"))
+    w_in = (Window.partitionBy(strata_col, "_bucket")
+            .orderBy(s.desc(), F.col(key_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = d.withColumn("_cum_in",
+                         F.sum(F.col(token_col)).over(w_in))
+    # bucket totals come from the window output — local is already
+    # hash-partitioned by (stratum, bucket), so no extra exchange
+    tots = (local.groupBy(strata_col, "_bucket")
+            .agg(F.max("_cum_in").alias("_tot")))
+    w_b = (Window.partitionBy(strata_col).orderBy("_bucket")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    base = tots.withColumn(
+        "_base", F.coalesce(F.sum("_tot").over(w_b), F.lit(0))).drop("_tot")
+    return (
+        local.join(F.broadcast(base), [strata_col, "_bucket"])
+        .withColumn("cum_tokens",
+                    (F.col("_base") + F.col("_cum_in")).cast("long"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(key_col, strata_col, score_col, token_col, "cum_tokens")
+    )
+
+
+__all__ = ["benchmark_contamination", "budget_select", "hash_sample",
            "stratified_hash_sample", "pack_documents"]

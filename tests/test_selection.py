@@ -100,3 +100,53 @@ def test_pack_documents_exact_past_double_precision(spark):
     # gets wrong for odd ids past 2^53
     shards = (d.select(F.expr("doc_id div 2").alias("s")).distinct().count())
     assert shards == 4  # ids base..base+5 with base odd span 4 shards
+
+
+def test_budget_select_matches_serial_greedy(spark):
+    """The bucketed distributed prefix sum must reproduce the serial
+    greedy selection exactly: per stratum, take docs by (score DESC,
+    doc_id ASC) while the running token total stays within budget."""
+    from aser_spark.textops import budget_select
+    from aser_spark.textops.quality import scored_documents
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de",
+          " ".join(["the word is"] * (1 + i % 17)) + (" !!!" * (i % 5)))
+         for i in range(400)],
+        "doc_id long, lang string, text string")
+    scored = scored_documents(docs)
+    got = sorted((r["doc_id"], r["cum_tokens"])
+                 for r in budget_select(scored, budget_tokens=800).collect())
+
+    rows = scored.collect()
+    exp = []
+    for lang in {r["lang"] for r in rows}:
+        cum = 0
+        for r in sorted((r for r in rows if r["lang"] == lang),
+                        key=lambda r: (-r["quality_score"], r["doc_id"])):
+            cum += r["n_ws_tokens"]
+            if cum <= 800:
+                exp.append((r["doc_id"], cum))
+    assert got == sorted(exp) and len(got) > 0
+    # bucket width is an implementation knob, not a semantic one
+    alt = sorted((r["doc_id"], r["cum_tokens"])
+                 for r in budget_select(scored, budget_tokens=800,
+                                        bucket_width=0.2).collect())
+    assert alt == got
+
+
+def test_budget_select_ties_never_straddle_buckets(spark):
+    """Equal scores get equal buckets by construction; the cut inside a
+    tie block is decided by doc_id alone, independent of partitioning."""
+    from aser_spark.textops import budget_select
+
+    scored = spark.createDataFrame(
+        [(i, "en", 10, 0.5) for i in range(20)],
+        "doc_id long, lang string, n_ws_tokens long, quality_score double")
+    out = sorted(r["doc_id"] for r in
+                 budget_select(scored, budget_tokens=55).collect())
+    assert out == [0, 1, 2, 3, 4]
+    alt = sorted(r["doc_id"] for r in
+                 budget_select(scored.repartition(7),
+                               budget_tokens=55).collect())
+    assert alt == out

@@ -293,3 +293,33 @@ def test_repetition_stats_known_values(spark):
     assert abs(got[0].dup_bigram_ratio - (1 - 3 / 4)) < 1e-9
     assert got[1].dup_token_ratio == 0.0 and got[1].dup_bigram_ratio == 0.0
     assert got[2].n_tokens == 1 and got[2].dup_bigram_ratio == 0.0
+
+
+def test_grouped_quantiles_matches_numpy_linear(spark):
+    """Histogram + covering-row interpolation == numpy's linear
+    percentile (the quantile_cont definition), for every prob including
+    the 0/1 endpoints, independent of partitioning."""
+    import random
+
+    import numpy as np
+
+    from aser_spark.textops import grouped_quantiles
+
+    random.seed(7)
+    rows = [(i, random.choice(["en", "de", "fr"]), random.randint(1, 300))
+            for i in range(997)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    probs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    out = {(r["lang"], r["prob"]): r["quantile"]
+           for r in grouped_quantiles(df, "n", probs).collect()}
+    assert len(out) == 3 * len(probs)
+    for lang in ("en", "de", "fr"):
+        vals = [n for (_, l, n) in rows if l == lang]
+        for p in probs:
+            exp = round(float(np.percentile(vals, p * 100,
+                                            method="linear")), 6)
+            assert abs(out[(lang, p)] - exp) < 1e-9, (lang, p)
+    alt = {(r["lang"], r["prob"]): r["quantile"]
+           for r in grouped_quantiles(df.repartition(13), "n",
+                                      probs).collect()}
+    assert alt == out

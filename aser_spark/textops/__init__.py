@@ -14,8 +14,9 @@ from .dedup import (exact_duplicates, minhash_signatures, lsh_candidate_pairs,
 from .quality import (document_fingerprint, grouped_quantiles, language_id,
                       quality_scores, repetition_stats, scored_documents,
                       scrub_pii, token_stats)
-from .selection import (benchmark_contamination, budget_select, hash_sample,
-                        pack_documents, stratified_hash_sample)
+from .selection import (benchmark_contamination, budget_select,
+                        chunk_documents, hash_sample, pack_documents,
+                        stratified_hash_sample)
 from .similarity import (brute_force_cosine_topk, embedding_near_duplicates,
                          fit_ivf_centroids, ivf_ann_topk, ivf_ann_topk_grid,
                          ivf_ann_topk_trained, hyperplane_signatures,

@@ -180,5 +180,44 @@ def budget_select(scored: DataFrame, budget_tokens: int,
     )
 
 
-__all__ = ["benchmark_contamination", "budget_select", "hash_sample",
-           "stratified_hash_sample", "pack_documents"]
+def chunk_documents(documents: DataFrame, seq_len: int, overlap: int = 0,
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window document chunking — the pre-tokenization pass that
+    cuts long documents into ``seq_len``-token windows advancing by
+    ``seq_len - overlap`` (the standard stride-with-overlap shape; the
+    final chunk may be shorter).  Complements pack_documents: packing
+    concatenates SHORT docs up to seq_len, chunking splits LONG docs
+    down to it.
+
+    Scan-shaped at any scale: chunk starts are computed per row with
+    integer arithmetic and exploded locally — no shuffle, no UDF; the
+    output inherits the input partitioning.  Chunk count uses integral
+    `div` so the plan is exact past 2^53 tokens (same rationale as
+    pack_documents' shard ids).
+
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text).
+    """
+    if not 0 <= overlap < seq_len:
+        raise ValueError(f"require 0 <= overlap < seq_len, got "
+                         f"overlap={overlap} seq_len={seq_len}")
+    stride = seq_len - overlap
+    d = documents.select(
+        "doc_id", F.split(_norm_sel(F.col(text_col)), " ").alias("_tok"))
+    n = F.size("_tok").cast("long")
+    # K = 1 for n <= seq_len, else ceil((n - seq_len) / stride) + 1
+    k = F.when(n <= seq_len, F.lit(1).cast("long")).otherwise(
+        F.expr(f"(size(_tok) - {seq_len} + {stride} - 1) div {stride}")
+        + F.lit(1))
+    exploded = d.select(
+        "doc_id", "_tok",
+        F.posexplode(F.sequence(F.lit(0).cast("long"), k - 1)))
+    chunk = F.slice(F.col("_tok"),
+                    (F.col("col") * stride + 1).cast("int"), seq_len)
+    return exploded.select(
+        "doc_id", F.col("pos").cast("long").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))
+
+
+__all__ = ["benchmark_contamination", "budget_select", "chunk_documents",
+           "hash_sample", "stratified_hash_sample", "pack_documents"]

@@ -268,3 +268,22 @@ def test_pagerank_and_triangles_equijoin_only(spark):
         p = _plan(df, "simple")
         assert "CartesianProduct" not in p
         assert "NestedLoop" not in p
+
+
+def test_budget_select_and_chunking_never_single_partition(spark):
+    """budget_select's prefix sum must stay bucket-sharded and
+    chunk_documents must stay scan-shaped: an `Exchange SinglePartition`
+    (the global-window funnel) in either plan is the 100 TB regression
+    these operators exist to avoid."""
+    from aser_spark.textops import budget_select, chunk_documents
+
+    scored = spark.createDataFrame(
+        [(1, "en", 10, 0.5)],
+        "doc_id long, lang string, n_ws_tokens long, quality_score double")
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for df in (budget_select(scored, budget_tokens=100),
+               chunk_documents(docs, seq_len=2, overlap=1)):
+        p = _plan(df, "simple")
+        assert "SinglePartition" not in p
+    # chunking additionally must not shuffle at all
+    assert "Exchange" not in _plan(chunk_documents(docs, 2, 1), "simple")

@@ -150,3 +150,40 @@ def test_budget_select_ties_never_straddle_buckets(spark):
                  budget_select(scored.repartition(7),
                                budget_tokens=55).collect())
     assert alt == out
+
+
+def test_chunk_documents_matches_serial_windows(spark):
+    """Sliding-window chunking == the serial stride loop, including the
+    short-final-chunk and the n <= seq_len single-chunk cases."""
+    from aser_spark.textops import chunk_documents
+
+    texts = {1: " ".join(f"w{i}" for i in range(25)),
+             2: "a b c",
+             3: " ".join(f"x{i}" for i in range(10)),
+             4: " ".join(f"y{i}" for i in range(11))}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = sorted((r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text)
+                 for r in chunk_documents(docs, seq_len=10,
+                                          overlap=2).collect())
+    exp = []
+    for doc_id, text in texts.items():
+        toks, stride = text.split(), 8
+        n = len(toks)
+        k = 1 if n <= 10 else -(-(n - 10) // stride) + 1
+        for i in range(k):
+            w = toks[i * stride:i * stride + 10]
+            exp.append((doc_id, i, len(w), " ".join(w)))
+    assert got == sorted(exp)
+    # every chunk boundary pair shares exactly `overlap` tokens
+    by_doc = {}
+    for d, i, n, t in got:
+        by_doc.setdefault(d, []).append((i, t.split()))
+    for d, chunks in by_doc.items():
+        chunks.sort()
+        for (_, a), (_, b) in zip(chunks, chunks[1:]):
+            assert a[-2:] == b[:2], d
+
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(docs, seq_len=8, overlap=8)

@@ -1,1 +1,2 @@
-from .ingest import stream_extract_transcripts, streaming_turn_rates
+from .ingest import (stream_extract_transcripts, streaming_dedup_turns,
+                     streaming_turn_rates)

@@ -124,6 +124,26 @@ def streaming_conversation_progress(spark, input_path: str):
     )
 
 
+def streaming_dedup_turns(spark, input_path: str,
+                          watermark: str = "1 hour"):
+    """Watermarked streaming deduplication of re-delivered turns —
+    ``dropDuplicatesWithinWatermark`` on the transcript key
+    (conv_id, turn_idx).  Upstream transcript buses are at-least-once;
+    without this gate a re-delivered turn re-enters extraction and
+    permanently inflates node/edge frequencies (the same invariant the
+    batch path's idempotent ``batch_id=`` overwrite protects).  Unlike a
+    plain ``dropDuplicates``, state is BOUNDED: a key is only held until
+    the event-time watermark passes it, so the dedup store does not grow
+    with the (unbounded) stream — the production contract at 10^12 turns,
+    where re-delivery happens within minutes, not months.
+
+    Returns the deduplicated streaming DataFrame (caller attaches the
+    extraction sink)."""
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
+    return (stream.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"]))
+
+
 def streaming_turn_rates(spark, input_path: str, watermark: str = "10 minutes",
                          window: str = "5 minutes"):
     """Watermarked windowed counts of turns per role — returns the streaming

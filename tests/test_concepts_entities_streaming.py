@@ -383,3 +383,43 @@ def test_coref_candidate_rank_matches_reference_fold(spark):
     assert rows[("x", "Q1")] == (fold([0.9, 0.6, 0.9]), 1)
     assert rows[("x", "Q2")] == (fold([0.4]), 2)    # only y carries Q2
     assert rows[("z", "Q3")] == (fold([0.5]), 1)    # singleton cluster
+
+
+def test_streaming_dedup_turns_bounded_state(spark, tmp_path):
+    """At-least-once re-delivery: dropDuplicatesWithinWatermark must pass
+    each (conv_id, turn_idx) exactly once — including re-deliveries
+    arriving in a LATER micro-batch within the watermark horizon — so
+    downstream extraction never double-counts frequencies."""
+    from pyspark.sql import functions as F
+
+    from aser_spark.datagen import transcripts_df
+    from aser_spark.streaming import streaming_dedup_turns
+
+    src = str(tmp_path / "landing_dup")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    sink = str(tmp_path / "dedup_out")
+    t = transcripts_df(spark, 12, seed=42).cache()
+    n_unique = t.count()
+    # first delivery already contains intra-batch duplicates
+    t.union(t.limit(17)).write.mode("overwrite").parquet(src)
+
+    def run_available_now():
+        # file sink, not memory: only file sinks support restarting from
+        # the checkpoint (the re-delivery batch below needs a restart)
+        q = (streaming_dedup_turns(spark, src, watermark="2 hours")
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_available_now()
+    out = spark.read.parquet(sink)
+    assert out.count() == n_unique
+    assert out.select("conv_id", "turn_idx").distinct().count() == n_unique
+
+    # second delivery: the same turns re-delivered later (same event ts,
+    # well inside the watermark) — the restarted stream must emit nothing
+    t.limit(40).write.mode("append").parquet(src)
+    run_available_now()
+    assert spark.read.parquet(sink).count() == n_unique
+    t.unpersist()

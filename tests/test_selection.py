@@ -187,3 +187,37 @@ def test_chunk_documents_matches_serial_windows(spark):
     import pytest
     with pytest.raises(ValueError):
         chunk_documents(docs, seq_len=8, overlap=8)
+
+
+def test_chunk_documents_randomized_lengths(spark):
+    """Randomized sweep over doc lengths (including 0, stride-boundary
+    and off-by-one lengths) vs the serial stride loop — one DataFrame,
+    one Spark round.  The serial mirror normalizes exactly like the
+    operator (split on single spaces after collapse: empty text is ONE
+    empty token, matching Spark's split semantics)."""
+    import random
+    import re
+
+    from aser_spark.textops import chunk_documents
+
+    random.seed(11)
+    seq_len, overlap = 7, 3
+    stride = seq_len - overlap
+    lengths = list(range(0, 30)) + [random.randint(30, 200)
+                                    for _ in range(40)]
+    texts = {i: " ".join(f"t{i}_{j}" for j in range(n)) or ""
+             for i, n in enumerate(lengths)}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = sorted((r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text)
+                 for r in chunk_documents(docs, seq_len=seq_len,
+                                          overlap=overlap).collect())
+    exp = []
+    for doc_id, text in texts.items():
+        toks = re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+        n = len(toks)
+        k = 1 if n <= seq_len else -(-(n - seq_len) // stride) + 1
+        for i in range(k):
+            w = toks[i * stride:i * stride + seq_len]
+            exp.append((doc_id, i, len(w), " ".join(w)))
+    assert got == sorted(exp)

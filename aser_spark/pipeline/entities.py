@@ -35,20 +35,31 @@ def mention_candidates(nodes: DataFrame) -> DataFrame:
     )
 
 
-def link_entities(nodes: DataFrame, kb_aliases: DataFrame) -> DataFrame:
+def link_entities(nodes: DataFrame, kb_aliases: DataFrame,
+                  broadcast: bool = True) -> DataFrame:
     """(eid, mention, entity_id, prior): best-prior KB link per mention.
 
-    kb_aliases: (alias string, entity_id string, prior double)."""
+    kb_aliases: (alias string, entity_id string, prior double).
+
+    ``broadcast``: join-strategy control, same contract as
+    probase_concepts — True (the default) HINTS broadcasting the alias
+    table, right whenever it fits executor memory (entity KBs are
+    usually a few-GB dimension).  For a full Wikidata-scale alias dump
+    (hundreds of millions of rows), pass False: the hint would force an
+    oversized broadcast, while without it Catalyst plans a shuffled join
+    on the normalized alias and AQE still downgrades to broadcast at
+    runtime if the KB side turns out small.  Plan-shape contract pinned
+    by tests/test_plan_shapes.py."""
     cands = mention_candidates(nodes)
     # IDENTICAL normalization on both sides (case + punctuation + space
     # fold), so multi-word / punctuated KB aliases — normal in the real
     # Wikipedia/Wikidata dumps load_kb_aliases documents — stay matchable
     norm = F.lower(F.regexp_replace(F.col("mention"), r"[^\w]", ""))
     kb_norm = F.lower(F.regexp_replace(F.col("alias"), r"[^\w]", ""))
-    joined = cands.withColumn("_alias", norm).join(
-        F.broadcast(kb_aliases.withColumn("_alias", kb_norm)),
-        "_alias", "inner",
-    )
+    kb = kb_aliases.withColumn("_alias", kb_norm)
+    if broadcast:
+        kb = F.broadcast(kb)
+    joined = cands.withColumn("_alias", norm).join(kb, "_alias", "inner")
     # disambiguation = argmax(prior) with min-entity_id tie-break, encoded as
     # ONE hash aggregation min(struct(-prior, entity_id)).  Unlike the
     # row_number window this combines map-side (no sort, no single-partition

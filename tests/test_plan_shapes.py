@@ -287,3 +287,31 @@ def test_budget_select_and_chunking_never_single_partition(spark):
         assert "SinglePartition" not in p
     # chunking additionally must not shuffle at all
     assert "Exchange" not in _plan(chunk_documents(docs, 2, 1), "simple")
+
+
+def test_entity_kb_join_strategy_flips_past_broadcast_size(spark):
+    """Same contract as the probase probe join: the hinted default
+    broadcasts the alias KB, and broadcast=False hands the strategy to
+    Catalyst/AQE so a Wikidata-scale alias dump plans a SHUFFLED join
+    instead of an OOM broadcast."""
+    from aser_spark.pipeline.entities import link_entities, toy_kb
+
+    nodes = spark.createDataFrame(
+        [("e1", "s-v-o", "the doctor see the cat", "DT NN VBZ DT NN", 5.0)],
+        "eid string, pattern string, words string, pos_tags string, "
+        "frequency double")
+    kb = toy_kb(spark)
+
+    assert "BroadcastHashJoin" in _plan(link_entities(nodes, kb), "simple")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _plan(link_entities(nodes, kb, broadcast=False), "simple")
+        assert "BroadcastHashJoin" not in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        # the explicit hint must still win over the threshold
+        assert "BroadcastHashJoin" in _plan(
+            link_entities(nodes, kb, broadcast=True), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -313,6 +313,18 @@ def _q_repetition_stats_documents(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def _q_kg_sample_per_pattern(spark, sf_dir):
+    """Per-pattern deterministic eventuality sample — the reference's QA
+    sampling workflow (examples/sample/sample_eventualities.py:29-36)
+    with a salted-md5 shuffle instead of np.random, so the sample is
+    stable across runs/partitionings and replayed exactly by the DuckDB
+    oracle.  Tail query — the KG-node family is graded via kg_nodes."""
+    _ship_package(spark)
+    from aser_spark.queries import sample_nodes_per_pattern
+
+    return sample_nodes_per_pattern(_kg(spark)["nodes"], n=25)
+
+
 def _q_doc_length_quantiles(spark, sf_dir):
     """Per-language exact length quantiles (quantile_cont semantics) via
     the distributed histogram + covering-row interpolation in
@@ -1071,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "budget_select_documents": _q_budget_select_documents,
         "chunk_documents": _q_chunk_documents,
+        "kg_sample_per_pattern": _q_kg_sample_per_pattern,
     }
 
 
@@ -1330,6 +1343,18 @@ def _kg_oracle_sql() -> dict[str, str]:
         "kg_nodes": f"""
             SELECT eid, words AS eventuality, pattern, frequency
             FROM {nodes_agg} n
+        """,
+        "kg_sample_per_pattern": f"""
+            WITH r AS (
+              SELECT pattern, eid, words, frequency,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY pattern
+                       ORDER BY {_H60.format(x="eid || '#sample'")} ASC,
+                                eid ASC) AS sample_rank
+              FROM {nodes_agg} n)
+            SELECT pattern, CAST(sample_rank AS INT) AS sample_rank,
+                   eid, words, frequency
+            FROM r WHERE sample_rank <= 25
         """,
         "kg_edges": f"""
             SELECT hid, tid, sense, ROUND(weight, 4) AS weight FROM {edges_agg} e

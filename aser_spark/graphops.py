@@ -143,11 +143,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     the edge list on the src key plus a map-side-combining groupBy on dst
     — the textbook distributed PageRank shape.  The rank vector is |V|
     rows (small next to |E|); with both sides hash-partitioned on the
-    node key the join reuses one exchange across iterations.  The only
-    driver action per iteration is the single-row dangling-mass
-    aggregate.  localCheckpoint truncates lineage each round so plan
-    analysis stays O(1) in the iteration count (same rationale as
-    connected_components_star).
+    node key the join reuses one exchange across iterations.  The
+    dangling mass stays IN the dataflow as a broadcast single-row
+    aggregate (constant-key hash join) — no driver collect, so an
+    iteration is one job with zero driver round-trips; the r7 scaling
+    campaign measured the collect-per-iteration variant serializing ~2
+    extra barriers per round.  localCheckpoint truncates lineage each
+    round so plan analysis stays O(1) in the iteration count (same
+    rationale as connected_components_star).
 
     ``pin_dp`` rounds the edge shares and each iteration's rank vector to
     that many decimals.  This pins the whole computation to a value that
@@ -180,18 +183,26 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # never Python's banker's round — so ties round identically everywhere
     ranks = nodes.select("node", _pin(F.lit(1.0) / n).alias("rank"))
     for _ in range(iters):
-        # dangling mass: single-row aggregate (bounded driver collect)
-        dm = (ranks.join(has_out, "node", "left")
-              .filter(F.col("_has_out").isNull())
-              .agg(_pin(F.coalesce(F.sum("rank"), F.lit(0.0)))).collect()[0][0])
+        # dangling mass: single-row aggregate kept IN the dataflow (the
+        # arithmetic mirrors the former driver-side
+        # `(1-d)/n + d*dm/n` float expression term-for-term, so pinned
+        # values are unchanged)
+        dm_df = (ranks.join(has_out, "node", "left")
+                 .filter(F.col("_has_out").isNull())
+                 .agg(_pin(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                      .alias("_dm"))
+                 .withColumn("_k", F.lit(1)))
         contrib = (ranks.join(e_norm, ranks["node"] == e_norm["src"])
                    .groupBy("dst")
                    .agg(F.sum(F.col("rank") * F.col("share")).alias("c"))
                    .withColumnRenamed("dst", "node"))
-        base = (1.0 - damping) / n + damping * dm / n
+        base = (F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.col("_dm") / F.lit(float(n)))
         ranks = (nodes.join(contrib, "node", "left")
+                 .withColumn("_k", F.lit(1))
+                 .join(F.broadcast(dm_df), "_k")
                  .select("node",
-                         _pin(F.lit(base) +
+                         _pin(base +
                               F.lit(damping) *
                               F.coalesce(F.col("c"), F.lit(0.0)))
                          .alias("rank"))
@@ -247,3 +258,53 @@ def enumerate_triangles(edges: DataFrame, src: str = "src",
     tri = wedges.join(closing, ["u", "v"])
     xyz = F.array_sort(F.array("lo", "u", "v"))
     return tri.select(xyz[0].alias("x"), xyz[1].alias("y"), xyz[2].alias("z"))
+
+
+def kg_to_networkx(nodes: DataFrame, edges: DataFrame,
+                   max_nodes: int = 2_000_000,
+                   max_edges: int = 5_000_000):
+    """Merged-eventuality networkx export — the reference's
+    examples/postprocess_aser/convert_aser_2_nx.py:25-46 surface: a
+    DiGraph at the WORDS grain (eventualities with identical words
+    merge; node freq = summed frequency) whose edges carry a
+    {sense: summed weight} dict gathered across every merged eid pair.
+
+    The merge/gather runs DISTRIBUTED (two groupBys + two node joins);
+    only the final words-grain graph is collected, and the collect is
+    bounded: the export REFUSES graphs past max_nodes/max_edges instead
+    of silently OOMing the driver — a networkx graph is a single-machine
+    artifact by definition, so the bound is the honest contract (filter
+    the KG first, examples/database/filter_kg.py-style, to export a
+    core subgraph of a 100 TB build)."""
+    import networkx as nx
+
+    merged = nodes.groupBy("words").agg(F.sum("frequency").alias("freq"))
+    h = nodes.select(F.col("eid").alias("hid"),
+                     F.col("words").alias("head_words"))
+    t = nodes.select(F.col("eid").alias("tid"),
+                     F.col("words").alias("tail_words"))
+    gathered = (
+        edges.join(h, "hid").join(t, "tid")
+        .groupBy("head_words", "tail_words", "sense")
+        .agg(F.sum("weight").alias("w"))
+    )
+    n_nodes = merged.count()
+    if n_nodes > max_nodes:
+        raise ValueError(
+            f"{n_nodes} merged nodes exceed max_nodes={max_nodes}; "
+            "filter the KG to a core subgraph before exporting")
+    n_pairs = gathered.select("head_words", "tail_words").distinct().count()
+    if n_pairs > max_edges:
+        raise ValueError(
+            f"{n_pairs} merged edges exceed max_edges={max_edges}; "
+            "filter the KG to a core subgraph before exporting")
+
+    g = nx.DiGraph()
+    for row in merged.toLocalIterator():
+        g.add_node(row["words"], freq=row["freq"])
+    for row in gathered.toLocalIterator():
+        if not g.has_edge(row["head_words"], row["tail_words"]):
+            g.add_edge(row["head_words"], row["tail_words"], relations={})
+        g[row["head_words"]][row["tail_words"]]["relations"][row["sense"]] = \
+            row["w"]
+    return g

@@ -89,3 +89,28 @@ def frequency_sweep(nodes: DataFrame, thresholds=(50.0, 30.0, 20.0, 10.0, 5.0, 3
     return counts.withColumn("n_nodes_at_or_above", F.sum("n").over(w)) \
                  .select(F.col("threshold_bucket").alias("threshold"),
                          "n_nodes_at_or_above")
+
+
+def sample_nodes_per_pattern(nodes: DataFrame, n: int = 100,
+                             salt: str = "sample") -> DataFrame:
+    """Per-pattern eventuality sample — the reference's QA workflow
+    (examples/sample/sample_eventualities.py:29-36: shuffle each
+    pattern's eids, keep N) re-expressed deterministically: rank each
+    pattern's nodes by a salted 60-bit md5 of the eid (an
+    engine-portable shuffle — stable across runs, partitionings, and
+    replayable by the DuckDB oracle) and keep rank <= n.
+
+    One window per pattern partition — pattern cardinality is the 18
+    extraction patterns, and the rank stops scanning after the sort, so
+    the shape is a bounded top-k per small stratum, not a global sort.
+
+    Output: (pattern, sample_rank, eid, words, frequency)."""
+    from ..textops.dedup import _hash60
+
+    h = _hash60(F.concat(F.col("eid"), F.lit("#" + salt)))
+    w = Window.partitionBy("pattern").orderBy(h.asc(), F.col("eid").asc())
+    return (
+        nodes.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+        .select("pattern", "sample_rank", "eid", "words", "frequency")
+    )

@@ -1,2 +1,3 @@
-from .ingest import (stream_extract_transcripts, streaming_dedup_turns,
+from .ingest import (stream_extract_transcripts,
+                     streaming_conversation_sessions, streaming_dedup_turns,
                      streaming_turn_rates)

@@ -144,6 +144,31 @@ def streaming_dedup_turns(spark, input_path: str,
             .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"]))
 
 
+def streaming_conversation_sessions(spark, input_path: str,
+                                    gap: str = "30 minutes",
+                                    watermark: str = "1 hour"):
+    """Event-time SESSION windows per conversation — Spark's native
+    ``session_window`` (dynamic-gap windows that close when no turn
+    arrives for ``gap``), the streaming counterpart of the batch
+    ``eventops.sessionize_events`` operator.  State is bounded: a session
+    finalizes (and is emitted, append mode) once the watermark passes its
+    close; late turns beyond the watermark are dropped rather than
+    reopening state.
+
+    Output per closed session: (conv_id, session_start, session_end,
+    n_turns, n_chars).  Returns the streaming DataFrame (caller attaches
+    a sink)."""
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum(F.length("text")).alias("n_chars"))
+        .select("conv_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_turns", "n_chars")
+    )
+
+
 def streaming_turn_rates(spark, input_path: str, watermark: str = "10 minutes",
                          window: str = "5 minutes"):
     """Watermarked windowed counts of turns per role — returns the streaming

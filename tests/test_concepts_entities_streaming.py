@@ -423,3 +423,61 @@ def test_streaming_dedup_turns_bounded_state(spark, tmp_path):
     run_available_now()
     assert spark.read.parquet(sink).count() == n_unique
     t.unpersist()
+
+
+def test_streaming_session_windows_match_batch_gaps(spark, tmp_path):
+    """Native session_window sessions must equal the serial gap-scan over
+    the same turns once the watermark passes them.  Protocol: run
+    availableNow over the real turns (sessions may stay open — append
+    mode only emits watermark-closed windows), then deliver one
+    far-future punctuation turn and restart from the checkpoint: the
+    advanced watermark closes every real session exactly once."""
+    import datetime as dt
+
+    from aser_spark.streaming import streaming_conversation_sessions
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # conv A: two sessions (45-min gap > 30-min gap closes the first);
+    # conv B: 29-min gaps chain ONE session across all three turns
+    for i, off_min in enumerate((0, 5, 10, 55, 60)):
+        rows.append(("A", i, "user", f"turn a{i}", "",
+                     base + dt.timedelta(minutes=off_min)))
+    for i, off_min in enumerate((0, 29, 58)):
+        rows.append(("B", i, "user", f"turn b{i}", "",
+                     base + dt.timedelta(minutes=off_min)))
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    src = str(tmp_path / "landing_sess")
+    ckpt = str(tmp_path / "sess_ckpt")
+    sink = str(tmp_path / "sess_out")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    def run_available_now():
+        q = (streaming_conversation_sessions(spark, src, gap="30 minutes",
+                                             watermark="1 minute")
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_available_now()
+    # punctuation: one far-future turn advances the watermark past every
+    # real session's close on the restarted stream
+    spark.createDataFrame(
+        [("Z", 0, "user", "late punctuation", "",
+          base + dt.timedelta(days=2))], schema
+    ).write.mode("append").parquet(src)
+    run_available_now()
+
+    got = {(r.conv_id,
+            int((r.session_start - base).total_seconds()) // 60,
+            int((r.session_end - base).total_seconds()) // 60,
+            r.n_turns, r.n_chars)
+           for r in spark.read.parquet(sink).collect()}
+    # serial gap-scan ground truth: window end = last turn + gap
+    assert got == {
+        ("A", 0, 10 + 30, 3, 21),    # 12:00-12:10 -> closes 12:40
+        ("A", 55, 60 + 30, 2, 14),   # 12:55-13:00 -> closes 13:30
+        ("B", 0, 58 + 30, 3, 21),    # one chained session
+    }

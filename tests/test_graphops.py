@@ -102,3 +102,61 @@ def test_star_cc_raises_when_not_converged(spark):
     df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_star(df, "src", "dst", max_iter=1)
+
+
+def test_kg_to_networkx_merged_grain(spark):
+    """convert_aser_2_nx.py parity shape: nodes merge at the words grain
+    (freq = summed frequency), each edge carries per-sense weight sums
+    gathered across EVERY merged eid pair."""
+    from aser_spark.graphops import kg_to_networkx
+
+    # e1/e2 share words "i sleep" -> one merged node
+    nodes = spark.createDataFrame(
+        [("e1", "i sleep", "s-v", 3.0), ("e2", "i sleep", "s-v", 2.0),
+         ("e3", "i be tired", "s-be-a", 4.0)],
+        "eid string, words string, pattern string, frequency double")
+    edges = spark.createDataFrame(
+        [("e1", "e3", "Reason", 1.5), ("e2", "e3", "Reason", 0.5),
+         ("e2", "e3", "Result", 1.0)],
+        "hid string, tid string, sense string, weight double")
+    g = kg_to_networkx(nodes, edges)
+    assert set(g.nodes) == {"i sleep", "i be tired"}
+    assert g.nodes["i sleep"]["freq"] == 5.0
+    assert g.nodes["i be tired"]["freq"] == 4.0
+    # both eid pairs gather into ONE words-grain edge
+    assert g["i sleep"]["i be tired"]["relations"] == {
+        "Reason": 2.0, "Result": 1.0}
+    assert g.number_of_edges() == 1
+
+    import pytest
+    with pytest.raises(ValueError, match="max_nodes"):
+        kg_to_networkx(nodes, edges, max_nodes=1)
+
+
+def test_sample_nodes_per_pattern_deterministic(spark):
+    """Exactly min(n, stratum size) rows per pattern; identical sample
+    (incl. ranks) across partitionings; different salt -> different
+    deterministic order."""
+    from aser_spark.queries import sample_nodes_per_pattern
+
+    rows = [(f"e{i}", f"w{i}", "s-v" if i % 3 else "s-be-a", float(i))
+            for i in range(200)]
+    nodes = spark.createDataFrame(
+        rows, "eid string, words string, pattern string, frequency double")
+    out = sample_nodes_per_pattern(nodes, n=10)
+    got = sorted((r.pattern, r.sample_rank, r.eid) for r in out.collect())
+    by_pat = {}
+    for p, _, _ in got:
+        by_pat[p] = by_pat.get(p, 0) + 1
+    assert by_pat == {"s-v": 10, "s-be-a": 10}
+    alt = sorted((r.pattern, r.sample_rank, r.eid) for r in
+                 sample_nodes_per_pattern(nodes.repartition(13),
+                                          n=10).collect())
+    assert alt == got
+    other = sorted((r.pattern, r.sample_rank, r.eid) for r in
+                   sample_nodes_per_pattern(nodes, n=10,
+                                            salt="other").collect())
+    assert other != got
+    # a stratum smaller than n returns whole-stratum
+    tiny = sample_nodes_per_pattern(nodes.limit(3), n=10)
+    assert tiny.count() == 3

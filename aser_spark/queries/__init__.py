@@ -114,3 +114,23 @@ def sample_nodes_per_pattern(nodes: DataFrame, n: int = 100,
         .filter(F.col("sample_rank") <= n)
         .select("pattern", "sample_rank", "eid", "words", "frequency")
     )
+
+
+def sample_edges_per_sense(edges: DataFrame, n: int = 100,
+                           salt: str = "sample") -> DataFrame:
+    """Per-sense relation sample — examples/sample/sample_relations.py's
+    np.random.shuffle-per-sense, deterministic (same salted-md5 order as
+    sample_nodes_per_pattern, keyed on hid|tid).
+
+    Output: (sense, sample_rank, hid, tid, weight)."""
+    from ..textops.dedup import _hash60
+
+    h = _hash60(F.concat_ws("|", F.col("hid"), F.col("tid"),
+                            F.lit(salt)))
+    w = Window.partitionBy("sense").orderBy(h.asc(), F.col("hid").asc(),
+                                            F.col("tid").asc())
+    return (
+        edges.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+        .select("sense", "sample_rank", "hid", "tid", "weight")
+    )

@@ -160,3 +160,22 @@ def test_sample_nodes_per_pattern_deterministic(spark):
     # a stratum smaller than n returns whole-stratum
     tiny = sample_nodes_per_pattern(nodes.limit(3), n=10)
     assert tiny.count() == 3
+
+
+def test_sample_edges_per_sense_deterministic(spark):
+    from aser_spark.queries import sample_edges_per_sense
+
+    rows = [(f"h{i}", f"t{i}", "Reason" if i % 2 else "Result",
+             float(i % 7) + 0.5) for i in range(120)]
+    edges = spark.createDataFrame(
+        rows, "hid string, tid string, sense string, weight double")
+    out = sorted((r.sense, r.sample_rank, r.hid)
+                 for r in sample_edges_per_sense(edges, n=15).collect())
+    counts = {}
+    for s, _, _ in out:
+        counts[s] = counts.get(s, 0) + 1
+    assert counts == {"Reason": 15, "Result": 15}
+    alt = sorted((r.sense, r.sample_rank, r.hid) for r in
+                 sample_edges_per_sense(edges.repartition(9),
+                                        n=15).collect())
+    assert alt == out

@@ -1,6 +1,7 @@
 """Distributed graph primitives for KG enrichment and analytics at corpus
-scale: bounded-round connected components, weighted PageRank, and
-degree-ordered triangle enumeration.
+scale: bounded-round connected components, weighted PageRank,
+degree-ordered triangle enumeration, k-core extraction, and a bounded
+networkx export.
 
 ``connected_components_star`` is the large-star/small-star alternation of
 Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC'14) —
@@ -308,3 +309,42 @@ def kg_to_networkx(nodes: DataFrame, edges: DataFrame,
         g[row["head_words"]][row["tail_words"]]["relations"][row["sense"]] = \
             row["w"]
     return g
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+           max_iter: int = 100) -> DataFrame:
+    """The k-core of the undirected simple graph: repeatedly remove nodes
+    of degree < k until none remain — structural KG denoising (the
+    graph-topology complement of the frequency filter in
+    examples/database/filter_kg.py: a node survives because its
+    NEIGHBORHOOD is dense, not because it is individually frequent).
+
+    Returns the surviving canonical edge list (a < b).  Deterministic:
+    the k-core is a unique subgraph, independent of peel order.
+
+    Scale posture: each round is one degree aggregation over the
+    symmetric edge set + two semi-joins — all equi-operations on the
+    node key; localCheckpoint truncates lineage per round.  Round count
+    is bounded by the peel depth (pathological paths peel O(n) rounds —
+    max_iter guards; real KG/power-law graphs peel in a few dozen).
+    The per-round convergence check rides the degree aggregate — no
+    extra pass."""
+    e = _canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+               ).localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            return e
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        keep = (sym.groupBy("a").agg(F.count("*").alias("_d"))
+                .filter(F.col("_d") >= k).select("a"))
+        e2 = (e.join(keep, "a", "left_semi")
+              .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+              .select("a", "b")
+              .localCheckpoint(eager=True))
+        n2 = e2.count()
+        if n2 == n_edges:
+            return e2
+        e, n_edges = e2, n2
+    raise RuntimeError(f"k_core did not converge in {max_iter} rounds")

@@ -179,3 +179,36 @@ def test_sample_edges_per_sense_deterministic(spark):
                  sample_edges_per_sense(edges.repartition(9),
                                         n=15).collect())
     assert alt == out
+
+
+def test_k_core_matches_networkx(spark):
+    """Fixpoint peeling == networkx.k_core (independent implementation)
+    on random graphs, a clique-with-tendrils, and a pure path (deep
+    sequential peel); k larger than any core -> empty."""
+    import random
+
+    import networkx as nx
+
+    from aser_spark.graphops import k_core
+
+    def run(pairs, k):
+        df = spark.createDataFrame(pairs or [(0, 0)], "src long, dst long")
+        return sorted((r.a, r.b) for r in k_core(df, k).collect())
+
+    def truth(pairs, k):
+        g = nx.Graph()
+        g.add_edges_from(pairs)
+        g.remove_edges_from(nx.selfloop_edges(g))
+        core = nx.k_core(g, k)
+        return sorted((min(a, b), max(a, b)) for a, b in core.edges)
+
+    random.seed(3)
+    rand = [(random.randint(0, 40), random.randint(0, 40))
+            for _ in range(150)]
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tendrils = clique + [(0, 100), (100, 101), (101, 102)]
+    path = [(i, i + 1) for i in range(30)]
+    for pairs, k in [(rand, 2), (rand, 3), (tendrils, 3), (path, 2),
+                     (clique, 4)]:
+        assert run(pairs, k) == truth(pairs, k), (k, len(pairs))
+    assert run(clique, 5) == []

@@ -102,11 +102,17 @@ def pack_documents(documents: DataFrame, seq_len: int,
     w_in = (Window.partitionBy("_shard").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = toks.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
-    # shard totals come from the WINDOW OUTPUT (max running sum), not a
-    # second scan of toks: local is already hash-partitioned by _shard, so
-    # this groupBy adds no exchange and the corpus tokenization runs once
-    shard_totals = (local.groupBy("_shard")
-                    .agg(F.max("_cum_in").alias("_tot")))
+    # shard totals aggregate the PRE-window projection: the partial sum
+    # combines map-side, so this branch ships one row per (task, shard)
+    # and skips the window's sort entirely.  (Deriving totals from the
+    # window output looks cheaper — "reuse the exchange" — but column
+    # pruning makes the two branches' exchanges non-canonical, Spark
+    # cannot reuse them, and the r7 executed-plan audit showed the
+    # duplicated branch paying a full extra sort+window.)  The map-side
+    # tokenization still runs once per branch — callers packing the same
+    # corpus repeatedly should persist `documents` upstream.
+    shard_totals = (toks.groupBy("_shard")
+                    .agg(F.sum("n_tokens").alias("_tot")))
     w_sh = (Window.orderBy("_shard")
             .rowsBetween(Window.unboundedPreceding, -1))
     base = shard_totals.withColumn(
@@ -163,10 +169,12 @@ def budget_select(scored: DataFrame, budget_tokens: int,
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = d.withColumn("_cum_in",
                          F.sum(F.col(token_col)).over(w_in))
-    # bucket totals come from the window output — local is already
-    # hash-partitioned by (stratum, bucket), so no extra exchange
-    tots = (local.groupBy(strata_col, "_bucket")
-            .agg(F.max("_cum_in").alias("_tot")))
+    # bucket totals aggregate the PRE-window projection (map-side partial
+    # sums; no sort) — same rationale as pack_documents' shard totals.
+    # The scoring expressions in `scored` run once per branch; callers
+    # selecting from the same scored corpus repeatedly should persist it.
+    tots = (d.groupBy(strata_col, "_bucket")
+            .agg(F.sum(F.col(token_col)).alias("_tot")))
     w_b = (Window.partitionBy(strata_col).orderBy("_bucket")
            .rowsBetween(Window.unboundedPreceding, -1))
     base = tots.withColumn(

@@ -207,16 +207,19 @@ def grouped_quantiles(df: DataFrame, value_col: str, probs: list,
     spark = df.sparkSession
     vals = df.select(F.col(group_col).alias(group_col),
                      F.col(value_col).cast("double").alias("_v"))
-    hist = vals.groupBy(group_col, "_v").agg(F.count("*").alias("_cnt"))
+    hist0 = vals.groupBy(group_col, "_v").agg(F.count("*").alias("_cnt"))
     w = (Window.partitionBy(group_col).orderBy("_v")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     # _nxt (the next distinct value) makes the upper order statistic
     # available on the SAME covering row, so one join serves both ends of
     # the interpolation
-    hist = (hist.withColumn("_cum", F.sum("_cnt").over(w))
+    hist = (hist0.withColumn("_cum", F.sum("_cnt").over(w))
             .withColumn("_nxt", F.lead("_v").over(
                 Window.partitionBy(group_col).orderBy("_v"))))
-    totals = hist.groupBy(group_col).agg(F.max("_cum").alias("_n"))
+    # group sizes from the PRE-window histogram (sum of counts == max
+    # running sum): the totals branch skips the window's sort — same
+    # executed-plan rationale as selection.py's prefix-sum totals
+    totals = hist0.groupBy(group_col).agg(F.sum("_cnt").alias("_n"))
     probs_df = spark.createDataFrame([(float(p),) for p in probs],
                                      "prob double")
     keyed = (totals.crossJoin(F.broadcast(probs_df))

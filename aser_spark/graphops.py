@@ -279,7 +279,8 @@ def kg_to_networkx(nodes: DataFrame, edges: DataFrame,
     core subgraph of a 100 TB build)."""
     import networkx as nx
 
-    merged = nodes.groupBy("words").agg(F.sum("frequency").alias("freq"))
+    merged = nodes.groupBy("words").agg(F.sum("frequency").alias("freq")) \
+                  .persist()
     h = nodes.select(F.col("eid").alias("hid"),
                      F.col("words").alias("head_words"))
     t = nodes.select(F.col("eid").alias("tid"),
@@ -288,27 +289,35 @@ def kg_to_networkx(nodes: DataFrame, edges: DataFrame,
         edges.join(h, "hid").join(t, "tid")
         .groupBy("head_words", "tail_words", "sense")
         .agg(F.sum("weight").alias("w"))
-    )
-    n_nodes = merged.count()
-    if n_nodes > max_nodes:
-        raise ValueError(
-            f"{n_nodes} merged nodes exceed max_nodes={max_nodes}; "
-            "filter the KG to a core subgraph before exporting")
-    n_pairs = gathered.select("head_words", "tail_words").distinct().count()
-    if n_pairs > max_edges:
-        raise ValueError(
-            f"{n_pairs} merged edges exceed max_edges={max_edges}; "
-            "filter the KG to a core subgraph before exporting")
+    ).persist()
+    # persist both: the size guards and the export iteration would
+    # otherwise each recompute the full merge/gather dataflow
+    try:
+        n_nodes = merged.count()
+        if n_nodes > max_nodes:
+            raise ValueError(
+                f"{n_nodes} merged nodes exceed max_nodes={max_nodes}; "
+                "filter the KG to a core subgraph before exporting")
+        n_pairs = (gathered.select("head_words", "tail_words")
+                   .distinct().count())
+        if n_pairs > max_edges:
+            raise ValueError(
+                f"{n_pairs} merged edges exceed max_edges={max_edges}; "
+                "filter the KG to a core subgraph before exporting")
 
-    g = nx.DiGraph()
-    for row in merged.toLocalIterator():
-        g.add_node(row["words"], freq=row["freq"])
-    for row in gathered.toLocalIterator():
-        if not g.has_edge(row["head_words"], row["tail_words"]):
-            g.add_edge(row["head_words"], row["tail_words"], relations={})
-        g[row["head_words"]][row["tail_words"]]["relations"][row["sense"]] = \
-            row["w"]
-    return g
+        g = nx.DiGraph()
+        for row in merged.toLocalIterator():
+            g.add_node(row["words"], freq=row["freq"])
+        for row in gathered.toLocalIterator():
+            if not g.has_edge(row["head_words"], row["tail_words"]):
+                g.add_edge(row["head_words"], row["tail_words"],
+                           relations={})
+            g[row["head_words"]][row["tail_words"]]["relations"][
+                row["sense"]] = row["w"]
+        return g
+    finally:
+        merged.unpersist()
+        gathered.unpersist()
 
 
 def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",

@@ -16,7 +16,7 @@ from .quality import (document_fingerprint, grouped_quantiles, language_id,
                       scrub_pii, token_stats)
 from .selection import (benchmark_contamination, budget_select,
                         chunk_documents, hash_sample, pack_documents,
-                        stratified_hash_sample)
+                        stratified_hash_sample, temperature_mix_rates)
 from .similarity import (brute_force_cosine_topk, embedding_near_duplicates,
                          fit_ivf_centroids, ivf_ann_topk, ivf_ann_topk_grid,
                          ivf_ann_topk_trained, hyperplane_signatures,

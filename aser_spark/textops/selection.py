@@ -228,4 +228,41 @@ def chunk_documents(documents: DataFrame, seq_len: int, overlap: int = 0,
 
 
 __all__ = ["benchmark_contamination", "budget_select", "chunk_documents",
-           "hash_sample", "stratified_hash_sample", "pack_documents"]
+           "hash_sample", "stratified_hash_sample", "pack_documents",
+           "temperature_mix_rates"]
+
+
+def temperature_mix_rates(stratum_counts: dict, temperature: float,
+                          budget: int | None = None) -> dict:
+    """Per-stratum sampling rates for temperature-based data mixing (the
+    multilingual pre-training standard: sample stratum i with probability
+    ∝ n_i^τ, τ<1 up-weighting low-resource strata).  Returns
+    {stratum: rate} ready for stratified_hash_sample.
+
+    ``budget``: total documents to target across strata (rates are
+    scaled so expected kept-count sums to it, each rate capped at 1.0 —
+    a stratum cannot yield more than it has; the shortfall from capped
+    strata is NOT redistributed, matching the fixed-ratio contract of
+    the published recipes).  With budget=None, rates are normalized so
+    the most UP-WEIGHTED stratum (the smallest, for τ<1) keeps
+    everything and every other stratum scales to the exact n^τ
+    proportions — the largest kept corpus realizing the mix with no
+    rate above 1.
+
+    Driver-side pure math over the (tiny) stratum histogram — the
+    distributed parts stay in stratified_hash_sample."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not stratum_counts:
+        return {}
+    weights = {s: float(n) ** temperature
+               for s, n in stratum_counts.items() if n > 0}
+    total_w = sum(weights.values())
+    if budget is None:
+        # rate_i ∝ w_i / n_i, scaled so the max rate is exactly 1.0 —
+        # keeps the n^τ proportions exact with no capping
+        per_doc = {s: w / stratum_counts[s] for s, w in weights.items()}
+        top = max(per_doc.values())
+        return {s: per_doc[s] / top for s in per_doc}
+    return {s: min(w / total_w * budget / stratum_counts[s], 1.0)
+            for s, w in weights.items()}

@@ -221,3 +221,43 @@ def test_chunk_documents_randomized_lengths(spark):
             w = toks[i * stride:i * stride + seq_len]
             exp.append((doc_id, i, len(w), " ".join(w)))
     assert got == sorted(exp)
+
+
+def test_temperature_mix_rates(spark):
+    """τ=1 reproduces proportional mixing (uniform rates); τ→0 flattens
+    toward equal per-stratum counts; budgeted rates hit the budget in
+    expectation and cap at 1.0."""
+    import pytest
+
+    from aser_spark.textops import (stratified_hash_sample,
+                                    temperature_mix_rates)
+
+    counts = {"en": 8000, "fr": 1000, "de": 1000}
+    # τ=1, no budget: pure proportional -> every stratum keeps everything
+    r1 = temperature_mix_rates(counts, temperature=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in r1.values())
+    # τ=0.3 up-weights low-resource strata: the smallest strata keep
+    # everything, en scales down, and the kept counts hit the exact
+    # n_i^τ proportions (no capping distortion)
+    r = temperature_mix_rates(counts, temperature=0.3)
+    assert r["fr"] == 1.0 and r["de"] == 1.0 and r["en"] < 1.0
+    exp = {s: counts[s] * r[s] for s in counts}
+    assert abs(exp["fr"] / exp["en"] - (1000 ** 0.3) / (8000 ** 0.3)) < 1e-9
+    # budget: expected total equals the budget when no rate caps
+    rb = temperature_mix_rates(counts, temperature=0.5, budget=2000)
+    assert abs(sum(counts[s] * rb[s] for s in counts) - 2000) < 1e-6
+    with pytest.raises(ValueError):
+        temperature_mix_rates(counts, temperature=0.0)
+
+    # composes with the distributed sampler: realized counts land within
+    # md5-uniformity noise of the expectation
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 4000 else ("fr" if i < 4500 else "de"), "x")
+         for i in range(5000)], "doc_id long, lang string, text string")
+    c = {"en": 4000, "fr": 500, "de": 500}
+    rates = temperature_mix_rates(c, temperature=0.5, budget=1500)
+    got = (stratified_hash_sample(docs, rates, strata_col="lang")
+           .groupBy("lang").count().collect())
+    realized = {r["lang"]: r["count"] for r in got}
+    for s in c:
+        assert abs(realized.get(s, 0) - c[s] * rates[s]) < 120, (s, realized)

@@ -82,7 +82,11 @@ def _sbar_leafsets(syntax_tree):
     under the serving daemon's threads)."""
     cache = getattr(syntax_tree, "_sbar_leafsets", None)
     if cache is None:
-        cache = [frozenset(leaf.index for leaf in node.get_leaves())
+        # leaf_indices() is the per-node write-once cache of exactly the
+        # leaf-index set needed here — reuse it instead of re-walking the
+        # subtree per SBAR (same values: it collects index over the
+        # subtree's leaves)
+        cache = [frozenset(node.leaf_indices())
                  for node in syntax_tree.tree.traverse()
                  if node.name == "SBAR"]
         syntax_tree._sbar_leafsets = cache

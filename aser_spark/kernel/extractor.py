@@ -37,6 +37,40 @@ from .patterns import BIND, LEFTOVER, PATTERN_PROGRAMS, RBIND, RVETO, CLAUSE_SKI
 __all__ = ["extract_sentence_eventualities", "build_eventuality", "eid_of"]
 
 
+def _compile_prefilters():
+    """Per-program necessary-condition filters, compiled once at import.
+
+    Every positive op in every program carries a SINGLETON label set (the
+    rule table's core binds: nsubj/dobj/iobj/xcomp/cop/expl/nsubjpass), and
+    a program can only succeed if each positive op selects an edge with its
+    label.  Two sound skips follow:
+
+    * sentence level — the union of positive labels must be a subset of the
+      labels present in the sentence (skips e.g. every iobj/xcomp program
+      on a plain s-v-o sentence in ONE frozenset check);
+    * verb level — the first positive op is always anchored on V1, so the
+      anchor verb must have an outgoing (BIND) / incoming (RBIND) edge with
+      that label before ``_run_program`` is worth calling.
+
+    Both checks reject only candidates ``_run_program`` would itself reject
+    (hit=False on a positive op -> None), so match results are identical —
+    the tottime just stops being dominated by trivially failing programs."""
+    pf = {}
+    for name, prog in PATTERN_PROGRAMS.items():
+        labels: set = set()
+        for op in prog.positive:
+            assert len(op.labels) == 1, (name, op)
+            labels |= op.labels
+        first = prog.positive[0]
+        pf[name] = (frozenset(labels), first.kind,
+                    next(iter(first.labels)))
+    return pf
+
+
+_PREFILTERS = _compile_prefilters()
+_EMPTY_SET: frozenset = frozenset()
+
+
 def _index_edges(deps):
     """(by_governor, by_dependent): token index -> [(edge_idx, gov, label,
     dep), ...] preserving the global (gov, dep) scan order.  Every matcher
@@ -118,12 +152,47 @@ def _run_program(prog, by_gov, by_dep, bound):
     return selected, n_skeleton
 
 
+def _json_safe(s: str) -> bool:
+    """True when json.dumps would emit ``s`` verbatim between quotes (all
+    printable ASCII, no quote/backslash) — the overwhelmingly common case
+    for lowercased lemma words and POS/label strings."""
+    return not s or (s.isascii() and s.isprintable()
+                     and '"' not in s and "\\" not in s)
+
+
 def eid_of(rendered_deps, words, pos_tags) -> str:
     """sha1 over the reference's exact JSON rendering (eventuality.py:45-55).
 
     json.dumps turns tuples into JSON arrays with ", "/": " separators —
-    identical output to the reference, so eids are bit-compatible."""
-    msg = json.dumps([rendered_deps, words, pos_tags])
+    identical output to the reference, so eids are bit-compatible.
+
+    Hot path: when every string needs no JSON escaping (checked), the
+    message is assembled directly with the same separators — byte-identical
+    to json.dumps output (property-tested vs json.dumps in
+    tests/test_kernel_oracle.py) at a fraction of the encoder cost.  Any
+    string needing escapes (quotes, backslashes, control or non-ASCII
+    chars — e.g. the 'advcl:"s' label) falls back to json.dumps."""
+    safe = _json_safe
+    if all(map(safe, words)) and all(map(safe, pos_tags)) and all(
+            safe(lab) for _, lab, _ in rendered_deps):
+        parts = ["["]
+        ap = parts.append
+        if rendered_deps:
+            ap("[")
+            ap(", ".join(
+                f'[[{g}, "{wg}", "{tg}"], "{lab}", [{d}, "{wd}", "{td}"]]'
+                for (g, wg, tg), lab, (d, wd, td) in rendered_deps))
+            ap("], ")
+        else:
+            ap("[], ")
+        ap("[")
+        ap(", ".join(f'"{w}"' for w in words))
+        ap("], [")
+        ap(", ".join(f'"{t}"' for t in pos_tags))
+        ap("]]")
+        msg = "".join(parts)
+    else:
+        msg = json.dumps([rendered_deps, words, pos_tags])
     return hashlib.sha1(msg.encode("utf-8")).hexdigest()
 
 
@@ -288,10 +357,22 @@ def extract_sentence_eventualities(tokens, lemmas, pos_tags, dependencies,
     deps = [tuple(e) for e in dependencies]
     verb_positions = [i for i, t in enumerate(pos_tags) if t.startswith("VB")]
     by_gov, by_dep = _index_edges(deps)
+    sent_labels = {e[1] for e in deps}
+    gov_labels = {vp: {r[2] for r in by_gov[vp]} if vp in by_gov else _EMPTY_SET
+                  for vp in verb_positions}
+    dep_labels = {vp: {r[2] for r in by_dep[vp]} if vp in by_dep else _EMPTY_SET
+                  for vp in verb_positions}
     by_pattern: dict[str, list] = {}
     for name, prog in PATTERN_PROGRAMS.items():
+        required, first_kind, first_label = _PREFILTERS[name]
+        if not required <= sent_labels:
+            by_pattern[name] = []
+            continue
+        first_at = gov_labels if first_kind == BIND else dep_labels
         bucket = []
         for vp in verb_positions:
+            if first_label not in first_at[vp]:
+                continue
             res = _run_program(prog, by_gov, by_dep, {"V1": vp})
             if res is None:
                 continue

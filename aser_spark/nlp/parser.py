@@ -130,6 +130,13 @@ _TEMPORAL_JJ = frozenset((
 ))
 _AMBIG_JJ_ADV = frozenset(("early", "late", "earlier", "later"))
 
+# hoisted tuple unions (the _retag loop previously re-built these per token)
+_NP_INNER_PLUS_PL = _NP_INNER + ("NNS", "NNPS")
+_PREV_GERUND = ("IN", "DT", "PRP$", "JJ") + _NOUNISH
+_PREV_COMPOUND = ("JJ",) + _NOUNISH
+_PREV_MODAL_NOUN = ("DT", "PRP$", "JJ", "CD") + _NOUNISH
+_SUBJ_TAGS = _NOUNISH + ("PRP", "CD")
+
 
 def _retag(tokens, tags, lemmas):
     """Context fixes: her PRP$->PRP before verbs/end, ambiguous VBD->VBN
@@ -166,7 +173,7 @@ def _retag(tokens, tags, lemmas):
             continue
         if tags[i] == "JJ" and prv == "DT" and (
             nxt == "TO" or (w in _ORDINAL_JJ
-                            and nxt not in _NP_INNER + ("NNS", "NNPS"))
+                            and nxt not in _NP_INNER_PLUS_PL)
         ):
             # nominal reading: "the right to install", "by the fifth."
             tags[i], lemmas[i] = "NN", w
@@ -185,10 +192,10 @@ def _retag(tokens, tags, lemmas):
             #   compound head position for the closed list ("training
             #   sessions", "parking passes")
             if (i == 0 and nxt in ("VBZ", "VBD", "VBP", "MD", "RB", "IN")) \
-               or (prv in ("IN", "DT", "PRP$", "JJ") + _NOUNISH
+               or (prv in _PREV_GERUND
                    and nxt in ("IN", "RB", "VBZ", "VBD", "VBP", "MD",
                                "POS", ".", ",", "!", "?", ";", ":")) \
-               or ((i == 0 or prv in ("JJ",) + _NOUNISH) and nxt in _NOUNISH
+               or ((i == 0 or prv in _PREV_COMPOUND) and nxt in _NOUNISH
                    and w in _NOMINAL_GERUNDS):
                 tags[i] = "NN"
                 lemmas[i] = w
@@ -208,7 +215,7 @@ def _retag(tokens, tags, lemmas):
             tags[i] = "NNS"
             continue
         if tags[i] == "MD" and w in ("can", "will") \
-                and prv in ("DT", "PRP$", "JJ", "CD") + _NOUNISH:
+                and prv in _PREV_MODAL_NOUN:
             # a modal must govern a verb phrase; when nothing verbal can
             # follow (next non-adverb is a preposition/punct/conjunction),
             # the noun reading wins ("a tuna can by the sprinkler",
@@ -351,7 +358,7 @@ def _retag(tokens, tags, lemmas):
             if entry is None:
                 continue
             tag, lemma = entry
-            has_subj = any(tags[j] in _NOUNISH + ("PRP", "CD")
+            has_subj = any(tags[j] in _SUBJ_TAGS
                            for j in range(i))
             if has_subj:
                 # a base form after a subject is a plural-agreement finite
@@ -367,41 +374,49 @@ def _retag(tokens, tags, lemmas):
 
 def _split_clauses(tags, lemmas):
     """Return list of (marker_idx | None, kind, [token indices]) where kind
-    is '' (main), 'sub' (advcl) or 'cc' (conj).  Commas/periods excluded."""
+    is '' (main), 'sub' (advcl) or 'cc' (conj).  Commas/periods excluded.
+
+    O(n): the original per-token ``any(_is_verb ...)`` scans made this
+    quadratic; a suffix verb table plus two running flags give identical
+    decisions in one pass."""
     n = len(tags)
     clauses = []
     cur, marker, kind = [], None, ""
+    cur_has_verb = False
+    # verb_after[i] == any(_is_verb(tags[j]) for j in range(i, n))
+    verb_after = [False] * (n + 1)
+    for j in range(n - 1, -1, -1):
+        verb_after[j] = verb_after[j + 1] or _is_verb(tags[j])
+    seen_verb = False  # any verb at an index < i
 
     def flush():
-        nonlocal cur, marker, kind
+        nonlocal cur, marker, kind, cur_has_verb
         if cur:
             clauses.append((marker, kind, cur))
         cur, marker, kind = [], None, ""
+        cur_has_verb = False
 
-    i = 0
-    while i < n:
+    for i in range(n):
         tag, lem = tags[i], lemmas[i]
         if tag in (".", ",", "!", "?", ":", ";"):
             # a comma/semicolon between two verbal clauses is a clause
             # boundary (parataxis): "because the cat slept, the dog barked"
-            if tag in (",", ";", ":") and any(
-                _is_verb(tags[j]) for j in cur
-            ) and any(_is_verb(tags[j]) for j in range(i + 1, n)):
+            if tag in (",", ";", ":") and cur_has_verb and verb_after[i + 1]:
                 flush()
-            i += 1
             continue
-        verb_later = any(_is_verb(tags[j]) for j in range(i + 1, n))
-        if tag == "IN" and lem in SUBORDINATORS and verb_later:
+        if tag == "IN" and lem in SUBORDINATORS and verb_after[i + 1]:
             flush()
             marker, kind = i, "sub"
-        elif tag == "CC" and lem in COORDINATORS and verb_later and any(
-            _is_verb(tags[j]) for j in range(i)
-        ):
+        elif tag == "CC" and lem in COORDINATORS and verb_after[i + 1] \
+                and seen_verb:
             flush()
             marker, kind = i, "cc"
         else:
             cur.append(i)
-        i += 1
+            if _is_verb(tag):
+                cur_has_verb = True
+        if _is_verb(tag):
+            seen_verb = True
     flush()
     return clauses
 
@@ -736,10 +751,22 @@ def _constituency_root(clauses, tokens, tags):
     from .syntax import SyntaxNode
 
     def pre(i, parent):
-        node = SyntaxNode(tags[i], parent)
+        # inline two-node preterminal construction (tag node + leaf):
+        # SyntaxNode.__init__ via the class call was ~15% of a discourse
+        # parse at 2 nodes/token; __new__ + direct slot writes halves it
+        node = SyntaxNode.__new__(SyntaxNode)
+        node.name = tags[i]
+        node.up = parent
+        node.index = None
+        node._leafidx = None
+        leaf = SyntaxNode.__new__(SyntaxNode)
+        leaf.name = tokens[i]
+        leaf.up = node
+        leaf.index = None
+        leaf._leafidx = None
+        leaf.children = []
+        node.children = [leaf]
         parent.children.append(node)
-        leaf = SyntaxNode(tokens[i], node)
-        node.children.append(leaf)
 
     root = SyntaxNode("ROOT")
     s = SyntaxNode("S", root)
@@ -791,12 +818,19 @@ def _render_ptb(node):
         _render_ptb(c) for c in node.children) + ")"
 
 
-def parse_sentence(sentence: str, with_tree: bool = False):
+def parse_sentence(sentence: str, with_tree: bool = False,
+                   render_parse: bool = True):
     """Parse one sentence into the reference parsed_result dict shape.
     ``with_tree=True`` additionally returns the constituency root node
     (the same structure the ``parse`` string is rendered from) as a
     second value, letting the discourse memo build its SyntaxTree without
-    re-parsing the bracket string."""
+    re-parsing the bracket string.
+
+    ``render_parse=False`` skips rendering the PTB bracket string (and,
+    when ``with_tree`` is also False, building the constituency nodes at
+    all) and stores ``parse=None`` — the extraction pipeline's memo paths
+    never read the string, and rendering it was ~20% of a seed-mode
+    parse.  Default True preserves the full dict for every other caller."""
     tokens = tokenize(sentence)
     tagged = [
         ("NNP", t) if t[:1].isupper() and t.lower() in NER_GAZETTEER
@@ -866,7 +900,8 @@ def parse_sentence(sentence: str, with_tree: bool = False):
 
     uniq = sorted(set(deps), key=lambda e: (e[0], e[2]))
     ners, mentions = _ner_spans(tokens, tags)
-    tree_root = _constituency_root(clauses, tokens, tags)
+    tree_root = (_constituency_root(clauses, tokens, tags)
+                 if (render_parse or with_tree) else None)
     parsed = {
         "text": sentence,
         "tokens": tokens,
@@ -874,7 +909,7 @@ def parse_sentence(sentence: str, with_tree: bool = False):
         "pos_tags": tags,
         "ners": ners,
         "mentions": mentions,
-        "parse": _render_ptb(tree_root),
+        "parse": _render_ptb(tree_root) if render_parse else None,
         "dependencies": [e for e in uniq if e[0] != e[2]],
     }
     return (parsed, tree_root) if with_tree else parsed

@@ -39,8 +39,16 @@ class SyntaxNode:
         for all kernel consumers."""
         cached = self._leafidx
         if cached is None:
-            cached = self._leafidx = tuple(sorted(
-                n.index for n in self._preorder() if not n.children))
+            out = []
+            stack = [self]
+            while stack:
+                node = stack.pop()
+                if node.children:
+                    stack.extend(node.children)
+                else:
+                    out.append(node.index)
+            out.sort()
+            cached = self._leafidx = tuple(out)
         return cached
 
     def is_leaf(self) -> bool:
@@ -72,13 +80,30 @@ class SyntaxNode:
             stack.extend(reversed(node.children))
 
     def get_leaves(self):
-        """Leaves in left-to-right (document) order, as ete3 returns them."""
-        return [n for n in self._preorder() if n.is_leaf()]
+        """Leaves in left-to-right (document) order, as ete3 returns them.
+        Inline iterative walk — no generator frames on the hot path."""
+        out = []
+        stack = [self]
+        pop = stack.pop
+        while stack:
+            node = pop()
+            ch = node.children
+            if ch:
+                stack.extend(reversed(ch))
+            else:
+                out.append(node)
+        return out
 
     def get_descendants(self):
-        """All nodes strictly below this one (ete3 surface)."""
-        out = list(self._preorder())
-        return out[1:]
+        """All nodes strictly below this one (ete3 surface), preorder."""
+        out = []
+        stack = list(reversed(self.children))
+        pop = stack.pop
+        while stack:
+            node = pop()
+            out.append(node)
+            stack.extend(reversed(node.children))
+        return out
 
 
 def _tokenize_ptb(s: str):

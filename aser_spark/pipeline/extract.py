@@ -162,7 +162,10 @@ def _sentence_cache(mode: str = "seed", generation=None):
 
             @lru_cache(maxsize=16384)
             def parse_one(sentence: str):
-                p, root = parse_sentence(sentence, with_tree=True)
+                # render_parse=False: the kernel consumes the tree object,
+                # never the PTB bracket string — skip rendering it
+                p, root = parse_sentence(sentence, with_tree=True,
+                                         render_parse=False)
                 return p, SyntaxTree.from_root(root)
 
             # two-level memo: ctx = (token, pos_tag) adjacent to this
@@ -196,7 +199,10 @@ def _sentence_cache(mode: str = "seed", generation=None):
         else:
             @lru_cache(maxsize=8192)
             def one(sentence: str):
-                p = parse_sentence(sentence)
+                # render_parse=False: seed extraction reads tokens/lemmas/
+                # pos/deps only — skip the constituency build + PTB render
+                # (~20% of a seed parse)
+                p = parse_sentence(sentence, render_parse=False)
                 evs = extract_sentence_eventualities(
                     p["tokens"], p["lemmas"], p["pos_tags"], p["dependencies"],
                     ners=p.get("ners"), mentions=p.get("mentions"))

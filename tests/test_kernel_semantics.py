@@ -137,3 +137,111 @@ def test_mention_projection_onto_eventualities():
     assert len(evs) == 1
     m = evs[0]["mentions"]
     assert m == [{"start": 0, "end": 2, "ner": "ANIMAL", "text": "the dog"}]
+
+
+# --- r8 optimization internals: fast paths must be output-identical --------
+
+def test_eid_fast_path_matches_json_dumps():
+    """eid_of's escape-free fast path must be byte-identical to the
+    reference sha1(json.dumps(...)) rendering, and strings that need JSON
+    escaping must route through the json.dumps fallback."""
+    import hashlib
+    import json
+    import random
+
+    from aser_spark.kernel.extractor import eid_of
+
+    def ref(rd, w, t):
+        return hashlib.sha1(
+            json.dumps([rd, w, t]).encode("utf-8")).hexdigest()
+
+    pool = ["hello", "", "a b", "it's", 'advcl:"s', "tab\there", "unié",
+            "back\\slash", "nn", ".", 'quote"x', "\x01ctl", "n't", "ok-word"]
+    rng = random.Random(7)
+    for _ in range(2000):
+        nw = rng.randrange(0, 6)
+        words = [rng.choice(pool) for _ in range(nw)]
+        tags = [rng.choice(pool) for _ in range(nw)]
+        rd = []
+        for _ in range(rng.randrange(0, 5)):
+            g = rng.randrange(0, max(nw, 1))
+            d = rng.randrange(0, max(nw, 1))
+            rd.append([[g, words[g] if words else "x",
+                        tags[g] if tags else "T"],
+                       rng.choice(pool),
+                       [d, words[d] if words else "y",
+                        tags[d] if tags else "U"]])
+        assert eid_of(rd, words, tags) == ref(rd, words, tags)
+
+
+def test_render_parse_false_only_drops_parse_string():
+    """parse_sentence(render_parse=False) must agree with the default on
+    every field except 'parse' (None instead of the PTB string), and the
+    with_tree variant must still return an equivalent tree."""
+    from aser_spark.nlp.parser import _render_ptb, parse_sentence
+
+    sents = [
+        "the dog barked because he was hungry.",
+        "i am hungry.",
+        "she asked him to review the report, the build failed.",
+        "either the team worked or the server crashed.",
+    ]
+    for s in sents:
+        full = parse_sentence(s)
+        lean = parse_sentence(s, render_parse=False)
+        assert lean["parse"] is None
+        for k in full:
+            if k != "parse":
+                assert lean[k] == full[k], (s, k)
+        lean2, root = parse_sentence(s, with_tree=True, render_parse=False)
+        assert lean2["parse"] is None
+        assert _render_ptb(root) == full["parse"]
+
+
+def test_pattern_prefilter_is_sound_vs_unfiltered_matcher():
+    """The sentence/verb-level prefilters may only skip candidates the
+    matcher itself rejects: running programs WITHOUT the prefilter must
+    produce the same eventuality records."""
+    from aser_spark.kernel.extractor import (_index_edges, _run_program,
+                                             build_eventuality)
+    from aser_spark.kernel.patterns import PATTERN_PROGRAMS
+    from aser_spark.kernel import extract_sentence_eventualities
+    from aser_spark.kernel.extractor import relabel_by_pos
+    from aser_spark.nlp.parser import parse_sentence
+    from aser_spark.datagen.transcripts import gen_conversation_rows
+    from aser_spark.nlp import split_sentences
+
+    def unfiltered(tokens, lemmas, pos_tags, dependencies):
+        deps = [tuple(e) for e in dependencies]
+        verbs = [i for i, t in enumerate(pos_tags) if t.startswith("VB")]
+        by_gov, by_dep = _index_edges(deps)
+        by_pattern = {}
+        for name, prog in PATTERN_PROGRAMS.items():
+            bucket = []
+            for vp in verbs:
+                res = _run_program(prog, by_gov, by_dep, {"V1": vp})
+                if res is None or not res[0]:
+                    continue
+                bucket.append(build_eventuality(
+                    name, [deps[i] for i in res[0]], res[1],
+                    lemmas, tokens, pos_tags))
+            by_pattern[name] = bucket
+        return [e for b in relabel_by_pos(by_pattern).values() for e in b]
+
+    n_checked = 0
+    for ci in range(120):
+        for row in gen_conversation_rows(42, ci):
+            for sent in split_sentences(row[3]):
+                p = parse_sentence(sent, render_parse=False)
+                got = extract_sentence_eventualities(
+                    p["tokens"], p["lemmas"], p["pos_tags"],
+                    p["dependencies"], skip_words=None)
+                want = unfiltered(p["tokens"], p["lemmas"], p["pos_tags"],
+                                  p["dependencies"])
+                assert got == sorted(want, key=lambda e: e["position"]) or \
+                    got == want  # same records either way
+                assert [e["eid"] for e in got] == \
+                    [e["eid"] for e in sorted(want,
+                                              key=lambda e: e["position"])]
+                n_checked += 1
+    assert n_checked > 500

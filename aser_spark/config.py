@@ -28,6 +28,19 @@ def get_spark(app="aser-spark", cpus: int | None = None, shuffle_partitions: int
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # floor scan parallelism at the core count: a single 20-200MB
+        # parquet file otherwise scans as 1-2 tasks and serializes the
+        # whole query behind it.  A *minimum* stays scale-adaptive — big
+        # inputs still split by maxPartitionBytes exactly as before
+        # (guide §6: files.minPartitionNum is the documented floor knob).
+        .config("spark.sql.files.minPartitionNum", str(cpus))
+        # allow shuffled-hash joins where a partition's build side fits —
+        # sort-merge's per-partition sorts are pure overhead for hash-able
+        # joins (guide §3.1/§9); AQE additionally rewrites SMJ->SHJ at
+        # runtime below the local-map threshold
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
         # local-mode driver == the single executor: size it like a real
         # executor (measured: a 16g heap GC-thrashes once the KG pipeline
         # caches instances + aggregates and a second extraction pass runs —

@@ -292,6 +292,50 @@ def _frame(rows, columns):
     return pd.DataFrame(dict(zip(columns, map(list, zip(*rows)))))
 
 
+def _conversation_stream_arrow(batches, columns, key_col="conv_id"):
+    """Arrow-native sibling of ``_conversation_stream`` for ``mapInArrow``
+    stages: consumes pyarrow RecordBatches instead of pandas frames.
+    Same boundary-carry contract; ``to_pylist`` is a single C call per
+    column versus pandas' block extraction + ``tolist``."""
+    import numpy as np
+
+    carry_key, carry_rows = None, []
+    for rb in batches:
+        n = rb.num_rows
+        if n == 0:
+            continue
+        ids = np.asarray(rb.column(key_col).to_pylist(), dtype=object)
+        arrs = [rb.column(c).to_pylist() for c in columns]
+        change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+        bounds = [0, *change.tolist(), n]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            key = ids[s]
+            rows = list(zip(*(a[s:e] for a in arrs)))
+            if key == carry_key:
+                carry_rows.extend(rows)
+                continue
+            if carry_key is not None:
+                yield carry_key, carry_rows
+            carry_key, carry_rows = key, rows
+    if carry_key is not None:
+        yield carry_key, carry_rows
+
+
+def _arrow_frame(rows, arrow_schema):
+    """RecordBatch straight from row tuples: one typed pa.array per column.
+    Skips the pandas DataFrame detour (block consolidation + the
+    pandas->Arrow conversion Spark would do per yielded frame) — the
+    instance payload is flat scalars, exactly Arrow's fast path."""
+    import pyarrow as pa
+
+    if not rows:
+        cols = [pa.array([], type=f.type) for f in arrow_schema]
+    else:
+        cols = [pa.array(col, type=f.type)
+                for f, col in zip(arrow_schema, zip(*rows))]
+    return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+
 _GC_TUNED: set = set()
 
 
@@ -532,41 +576,45 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
     (<= 4096 rows per (conv, bucket) window partition) also assumes
     distinct indices.  Deduplicate or re-index malformed corpora first.
     """
-    import pandas as pd
-
     from pyspark.sql import functions as F
 
     cols = ["turn_idx", "text"]
 
     def run_whole(batches):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(INSTANCE_SCHEMA)
         # evicts a stale mode — and, under a new memo_generation, this
         # mode's own resident memo — FIRST
         memo = _sentence_cache(mode, memo_generation)
         _freeze_longlived(mode)  # then freeze the survivors + new tables
         out = []
-        for conv_id, rows in _conversation_stream(batches, cols):
+        for conv_id, rows in _conversation_stream_arrow(batches, cols):
             out.extend(conversation_instance_rows(conv_id, rows, memo, mode))
             if len(out) >= 16384:
-                yield _frame(out, _INST_COLS)
+                yield _arrow_frame(out, arrow_schema)
                 out = []
-        yield _frame(out, _INST_COLS)
+        yield _arrow_frame(out, arrow_schema)
 
     narrow = transcripts.select("conv_id", "turn_idx", "text")
     if max_turns is None:
         grouped = narrow if pre_grouped else _group_by_conv(narrow, num_partitions)
-        return grouped.mapInPandas(run_whole, schema=INSTANCE_SCHEMA)
+        return grouped.mapInArrow(run_whole, schema=INSTANCE_SCHEMA)
 
     m, k = int(max_turns), int(context_turns)
     if m <= 0 or k < 0 or k >= m:
         raise ValueError(f"need max_turns > context_turns >= 0, got {m}, {k}")
 
     def run_chunks(batches):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(INSTANCE_SCHEMA)
         memo = _sentence_cache(mode, memo_generation)  # evict stale FIRST
         _freeze_longlived(mode)  # then freeze the survivors + new tables
         out = []
         chunk_cols = ["rk", "turn_idx", "text"]
-        for gkey, rows in _conversation_stream(batches, chunk_cols,
-                                               key_col="gkey"):
+        for gkey, rows in _conversation_stream_arrow(batches, chunk_cols,
+                                                     key_col="gkey"):
             conv_id, _, chunk = gkey.rpartition("\x00")
             lo = int(chunk) * m
             # core = ranks in [lo, lo+m); ranks map monotonically onto
@@ -581,9 +629,9 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
                 conv_id, [(t, x) for _, t, x in rows], memo, mode,
                 emit_turns=(lo_t, hi_t)))
             if len(out) >= 16384:
-                yield _frame(out, _INST_COLS)
+                yield _arrow_frame(out, arrow_schema)
                 out = []
-        yield _frame(out, _INST_COLS)
+        yield _arrow_frame(out, arrow_schema)
 
     from pyspark.sql import Window
 
@@ -641,7 +689,7 @@ def extract_graph_instances(transcripts, num_partitions=None, pre_grouped=False,
         num_partitions = max(sc.defaultParallelism, 8)
     grouped = (exploded.repartition(num_partitions, "gkey")
                .sortWithinPartitions("gkey", "turn_idx"))
-    return grouped.mapInPandas(run_chunks, schema=INSTANCE_SCHEMA)
+    return grouped.mapInArrow(run_chunks, schema=INSTANCE_SCHEMA)
 
 
 COVERAGE_SCHEMA = ("conv_id string, turn_idx int, sent_idx int, "

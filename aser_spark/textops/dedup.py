@@ -46,10 +46,14 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
     )
 
 
-def doc_grams(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct character n-grams per document (explode positions +
-    substr — whole-stage-codegen expressions only)."""
-    return (
+def doc_grams(documents: DataFrame, n: int = 3,
+              distinct: bool = True) -> DataFrame:
+    """Character n-grams per document (explode positions + substr —
+    whole-stage-codegen expressions only), de-duplicated per document by
+    default.  ``distinct=False`` skips the dedup EXCHANGE for consumers
+    whose downstream aggregate is duplicate-insensitive (min over salted
+    hashes in ``minhash_signatures``): same results, one shuffle less."""
+    g = (
         documents
         .select("doc_id", _norm(F.col("text")).alias("_t"))
         .select("doc_id", "_t",
@@ -57,8 +61,8 @@ def doc_grams(documents: DataFrame, n: int = 3) -> DataFrame:
                     F.lit(1), F.greatest(F.length("_t") - (n - 1), F.lit(1))
                 )).alias("i"))
         .select("doc_id", F.expr(f"substr(_t, i, {n})").alias("gram"))
-        .distinct()
     )
+    return g.distinct() if distinct else g
 
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
@@ -82,15 +86,36 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
       boundary are NOT silently missed); with the df cutoff in place this
       is a filter, not the join key.
     """
-    g = doc_grams(documents, n)
+    from pyspark.sql import Window
+
+    # len_band is a per-document scalar: compute it inline on the document
+    # row BEFORE the gram explode and carry it through (functionally
+    # dependent on doc_id, so the per-document distinct set is unchanged)
+    # instead of re-scanning ``documents`` for a second join — one scan and
+    # two exchanges fewer than the join-back shape.
+    g = (
+        documents
+        .select("doc_id", _norm(F.col("text")).alias("_t"))
+        .select("doc_id", "_t",
+                (F.length("_t") / length_band).cast("int").alias("len_band"),
+                F.explode(F.sequence(
+                    F.lit(1), F.greatest(F.length("_t") - (n - 1), F.lit(1))
+                )).alias("i"))
+        .select("doc_id", "len_band", F.expr(f"substr(_t, i, {n})").alias("gram"))
+        .distinct()
+    )
     if max_gram_df is not None:
+        # df pruning stays a combining groupBy + semi-join (NOT a window
+        # partitioned by gram): a stop-gram's rows would all land in ONE
+        # window task, while the hash agg combines map-side and the join
+        # is AQE-skew-splittable.
         keep = (g.groupBy("gram").agg(F.count("*").alias("df"))
                 .filter(F.col("df") <= max_gram_df).select("gram"))
         g = g.join(keep, "gram", "left_semi")
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    bands = documents.select(
-        "doc_id", (F.length(_norm(F.col("text"))) / length_band).cast("int").alias("len_band"))
-    g = g.join(sizes, "doc_id").join(bands, "doc_id")
+    # per-document gram count as a window over doc_id (bounded by document
+    # length — no skew exposure) instead of a groupBy + join-back: one
+    # exchange instead of two.
+    g = g.withColumn("n_grams", F.count("*").over(Window.partitionBy("doc_id")))
 
     a, b = g.alias("a"), g.alias("b")
     inter = (
@@ -117,8 +142,13 @@ def minhash_signatures(documents: DataFrame, n: int = 4,
     whole-stage codegen), posexplode to (doc_id, perm, h), then ONE
     partial+final min aggregation.  Higher-order fold alternatives
     (aggregate over collect_list) are CodegenFallback — interpreted per
-    element — and benchmarked ~30x slower."""
-    g = doc_grams(documents, n)
+    element — and benchmarked ~30x slower.
+
+    ``distinct=False`` on the gram stream: min() is duplicate-insensitive,
+    so pre-deduplicating grams only added a full (doc_id, gram) shuffle
+    before the combining min aggregation — identical signatures, one
+    exchange instead of two."""
+    g = doc_grams(documents, n, distinct=False)
     hashes = F.array(*[
         _hash60(F.concat(F.col("gram"), F.lit(f"#{p}"))) for p in range(num_perm)
     ])
@@ -186,16 +216,18 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
         .distinct()
         .withColumn("h", _hash60(F.col("token")))
     )
-    bit = (
-        tok.select("doc_id", "h",
-                   F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
-        # +1 if the bit is set, else -1 (expr form: shift amount is a column)
-        .withColumn("contrib",
-                    F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)))
-    )
-    return (
-        bit.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, 1).otherwise(0))
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("cast(bitval as bigint) << bit")).alias("simhash"))
-    )
+    # ONE combining aggregation with a ±1 sum per bit (16 agg expressions)
+    # instead of exploding every token row x bits and aggregating twice:
+    # same per-bit sums, same sign rule, same packed value — minus the
+    # bits-fold row amplification and one whole exchange.
+    per_bit = tok.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1))
+              .otherwise(F.lit(-1))).alias(f"_s{b}")
+        for b in range(bits)
+    ])
+    packed = None
+    for b in range(bits):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("bigint")) \
+                .otherwise(F.lit(0).cast("bigint"))
+        packed = term if packed is None else packed + term
+    return per_bit.select("doc_id", packed.alias("simhash"))

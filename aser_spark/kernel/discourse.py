@@ -852,6 +852,58 @@ def _flank(filtered, s, i, step, k=10):  # k = _MAX_ATTEMPT (defined below)
     return tuple(out)
 
 
+def _boundary_ctx(filtered, i, step):
+    """The ONE (token, pos) a D2 feature walk can observe beyond sentence
+    ``i`` in direction ``step`` — exactly ``_adjacent_token``'s first move
+    across the boundary (it returns after a single step); None at the
+    document edge."""
+    j = i + step
+    if j < 0 or j >= len(filtered):
+        return None
+    sp = filtered[j]
+    if not sp["tokens"]:
+        return None
+    k = -1 if step < 0 else 0
+    return (sp["tokens"][k], sp["pos_tags"][k])
+
+
+def _d2_accepted(filtered, i, tree, models, cands):
+    """Classifier-accepted connective spans for sentence ``i`` of the
+    relation pass, memoized per worker.
+
+    The D2 connective features are a pure function of (the sentence's own
+    tokens/pos, ONE boundary token each way, the sentence's constituency
+    tree) — and the tree is itself a deterministic function of the
+    sentence text for every pipeline caller (the parse memo), so
+    ``(text, prev_ctx, next_ctx, tree-is-None)`` exactly keys the accepted
+    set.  Zipf-hot sentences previously re-featurized + re-classified
+    every candidate on every occurrence in every conversation; this is
+    the relation-pass sibling of the always-on ``_CAND_MEMO`` (single-
+    sentence keys — high hit rate, trivial key build — unlike the
+    measured-slower full pair memo).  Values are immutable tuples; the
+    caller builds fresh dicts, so downstream mutation (arg spans) cannot
+    leak into the memo."""
+    sp = filtered[i]
+    key = (sp["text"], _boundary_ctx(filtered, i, -1),
+           _boundary_ctx(filtered, i, +1),
+           tree is None or tree.tree is None)
+    hit = _D2_MEMO.get(key)
+    if hit is None:
+        hit = tuple(
+            (c["connective"], tuple(c["indices"])) for c in cands
+            if models.is_connective(connective_feature_strings(
+                filtered, i, c["indices"], tree)))
+        with _PAIR_MEMO_LOCK:  # atomic evict+insert (daemon threads)
+            if len(_D2_MEMO) >= _D2_MEMO_MAX:
+                _D2_MEMO.clear()
+            _D2_MEMO[key] = hit
+    return hit
+
+
+_D2_MEMO: dict = {}
+_D2_MEMO_MAX = 1 << 16
+
+
 def _sentence_connective_rows(filtered, sentences, para_eventualities,
                               syntax_trees, i, models, method, threshold,
                               cands_raw=None):
@@ -866,14 +918,11 @@ def _sentence_connective_rows(filtered, sentences, para_eventualities,
     cands = sorted(cands_raw, key=lambda x: x["connective"])
     if not cands:
         return []
-    connectives = []
-    for c in cands:
-        c = {"connective": c["connective"], "indices": c["indices"],
-             "sent_idx": i}
-        strings = connective_feature_strings(
-            filtered, i, c["indices"], syntax_trees[i])
-        if models.is_connective(strings):
-            connectives.append(c)
+    connectives = [
+        {"connective": conn, "indices": list(idxs), "sent_idx": i}
+        for conn, idxs in _d2_accepted(filtered, i, syntax_trees[i],
+                                       models, cands)
+    ]
     ss_conns, ps_conns = [], []
     for c in connectives:
         strings = argument_position_feature_strings(

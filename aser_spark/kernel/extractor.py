@@ -230,7 +230,8 @@ def build_eventuality(pattern, sel_deps, n_skeleton, lemmas, tokens, pos_tags,
     skel = list(sel_deps[:n_skeleton])
 
     indices = sorted({i for g, _, d in deps for i in (g, d)})
-    if indices and pos_tags[indices[0]] == "IN":
+    dropped = bool(indices) and pos_tags[indices[0]] == "IN"
+    if dropped:
         drop = indices[0]
         deps = [e for e in deps if e[0] != drop and e[2] != drop]
         skel = [e for e in skel if e[0] != drop and e[2] != drop]
@@ -244,17 +245,24 @@ def build_eventuality(pattern, sel_deps, n_skeleton, lemmas, tokens, pos_tags,
     rank = {raw: r for r, raw in enumerate(indices)}
     reset = sorted({(rank[g], lab, rank[d]) for g, lab, d in deps},
                    key=lambda e: (e[0], e[2]))
-    reset_skel = sorted({(rank[g], lab, rank[d]) for g, lab, d in skel},
-                        key=lambda e: (e[0], e[2]))
-    skel_edge_idx = []
-    ptr = 0
-    for i, e in enumerate(reset):
-        if ptr >= len(reset_skel):
-            break
-        if e == reset_skel[ptr]:
-            skel_edge_idx.append(i)
-            ptr += 1
-    skel_word_idx = sorted({rank[i] for g, _, d in skel for i in (g, d)})
+    if len(skel) == len(deps) and not dropped:
+        # every selected edge is skeleton (no possible-op extras) and no
+        # leading-IN drop: the skeleton projections are the full sets
+        # (without a drop every index in ``indices`` appears in some edge)
+        skel_edge_idx = list(range(len(reset)))
+        skel_word_idx = list(range(len(indices)))
+    else:
+        reset_skel = sorted({(rank[g], lab, rank[d]) for g, lab, d in skel},
+                            key=lambda e: (e[0], e[2]))
+        skel_edge_idx = []
+        ptr = 0
+        for i, e in enumerate(reset):
+            if ptr >= len(reset_skel):
+                break
+            if e == reset_skel[ptr]:
+                skel_edge_idx.append(i)
+                ptr += 1
+        skel_word_idx = sorted({rank[i] for g, _, d in skel for i in (g, d)})
 
     rendered = [
         [[g, words[g], tags[g]], lab, [d, words[d], tags[d]]]

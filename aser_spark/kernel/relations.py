@@ -84,25 +84,48 @@ def _advcl_links(head_idx: frozenset, tail_idx: frozenset, deps) -> bool:
     return False
 
 
-def senses_same_sentence(head, tail, tokens, deps):
+def _present_connectives(tokens):
+    """Pair-invariant precomputation for one sentence: for each sense (in
+    rule order) the phrase-present connectives (in rule order) with their
+    mean first-occurrence index and 'instead' flag.  Phrase presence and
+    the mean index depend only on the sentence, so hoisting them out of
+    the O(pairs) loop changes nothing about which senses fire."""
+    token_set = set(tokens)
+    joined = " ".join(tokens)
+    out = []
+    for sense in RELATION_SENSES:
+        cands = []
+        for connective in SEED_CONNECTIVES[sense]:
+            if not token_set.issuperset(connective):
+                continue
+            if " ".join(connective) not in joined:
+                continue
+            cands.append((_mean_index(connective, tokens),
+                          "instead" in connective))
+        if cands:
+            out.append((sense, cands))
+    return out
+
+
+def senses_same_sentence(head, tail, tokens, deps, _present=None):
     """All senses for one intra-sentence ordered pair; Co_Occurrence is
     unconditional (relation_extractor.py:212-224)."""
+    if _present is None:
+        _present = _present_connectives(tokens)
     senses = ["Co_Occurrence"]
-    token_set = set(tokens)
     head_idx = frozenset(head["raw_indices"])
     tail_idx = frozenset(tail["raw_indices"])
     linked = None  # computed lazily; shared across senses
-    for sense in RELATION_SENSES:
-        for connective in SEED_CONNECTIVES[sense]:
-            if not _phrase_in(connective, tokens, token_set):
-                continue
+    h, t = head["position"], tail["position"]
+    for sense, cands in _present:
+        for cpos, is_instead in cands:
             if linked is None:
                 linked = _advcl_links(head_idx, tail_idx, deps)
             if not linked:
-                continue
-            cpos = _mean_index(connective, tokens)
-            h, t = head["position"], tail["position"]
-            ok = (h < t < cpos) if "instead" in connective else (h < cpos < t)
+                # original loop kept scanning but could never append once
+                # the contraction test failed — same result, done early
+                return senses
+            ok = (h < t < cpos) if is_instead else (h < cpos < t)
             if ok:
                 senses.append(sense)
                 break
@@ -153,13 +176,17 @@ def extract_paragraph_relations(sentences, para_eventualities, window=None):
     rows = []
     for i in range(start, stop):
         sent, evs = sentences[i], para_eventualities[i]
+        if len(evs) < 2:
+            continue
         tokens = sent["tokens"]
         deps = [tuple(e) for e in sent["dependencies"]]
+        present = _present_connectives(tokens)
         for head in evs:
             for tail in evs:
                 if not head["position"] < tail["position"]:
                     continue
-                for sense in senses_same_sentence(head, tail, tokens, deps):
+                for sense in senses_same_sentence(head, tail, tokens, deps,
+                                                  present):
                     rows.append((head["eid"], tail["eid"], sense, 1.0))
 
     for i in range(max(start - 1, 0), min(stop - 1, len(sentences) - 1)):

@@ -207,7 +207,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                               F.lit(damping) *
                               F.coalesce(F.col("c"), F.lit(0.0)))
                          .alias("rank"))
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

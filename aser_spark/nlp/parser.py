@@ -97,14 +97,15 @@ def tokenize(sentence: str):
     (I'm -> I + 'm, can't -> ca + n't)."""
     out = []
     for t in _TOKEN.findall(sentence):
-        m = _CONTRACTION.match(t)
-        if m:
-            out.extend([m.group(1), m.group(2)])
-            continue
-        m = _NT.match(t)
-        if m and m.group(1).lower() not in ("n", ""):
-            out.extend([m.group(1), m.group(2)])
-            continue
+        if "'" in t:  # both contraction patterns require an apostrophe
+            m = _CONTRACTION.match(t)
+            if m:
+                out.extend([m.group(1), m.group(2)])
+                continue
+            m = _NT.match(t)
+            if m and m.group(1).lower() not in ("n", ""):
+                out.extend([m.group(1), m.group(2)])
+                continue
         out.append(t)
     return out
 

@@ -169,7 +169,7 @@ def eid_of(rendered_deps, words, pos_tags) -> str:
     Hot path: when every string needs no JSON escaping (checked), the
     message is assembled directly with the same separators — byte-identical
     to json.dumps output (property-tested vs json.dumps in
-    tests/test_kernel_oracle.py) at a fraction of the encoder cost.  Any
+    tests/test_kernel_semantics.py) at a fraction of the encoder cost.  Any
     string needing escapes (quotes, backslashes, control or non-ASCII
     chars — e.g. the 'advcl:"s' label) falls back to json.dumps."""
     safe = _json_safe

@@ -154,13 +154,19 @@ def _sentence_cache(mode: str = "seed", generation=None):
         from ..kernel import extract_sentence_eventualities
         from ..nlp import parse_sentence
 
+        import os
+        _sz = int(os.environ.get("ASER_MEMO_SCALE_PCT", "100"))
+
+        def _scaled(base):
+            return max(base * _sz // 100, 1024)
+
         if mode == "discourse":
             from ..kernel.discourse import (
                 _sentence_clause_eventualities,
                 sentence_connective_separators)
             from ..nlp.syntax import SyntaxTree
 
-            @lru_cache(maxsize=16384)
+            @lru_cache(maxsize=_scaled(16384))
             def parse_one(sentence: str):
                 # render_parse=False: the kernel consumes the tree object,
                 # never the PTB bracket string — skip rendering it
@@ -176,13 +182,13 @@ def _sentence_cache(mode: str = "seed", generation=None):
             # the expensive clause re-extraction depends only on
             # (sentence, separators), a far lower-cardinality key that
             # collapses the many contexts yielding identical separators.
-            @lru_cache(maxsize=65536)
+            @lru_cache(maxsize=_scaled(65536))
             def seps_one(sentence: str, prev_ctx, next_ctx):
                 p, tree = parse_one(sentence)
                 return sentence_connective_separators(
                     p["tokens"], p["pos_tags"], tree, prev_ctx, next_ctx)
 
-            @lru_cache(maxsize=16384)
+            @lru_cache(maxsize=_scaled(16384))
             def clause_evs(sentence: str, sep: tuple):
                 p, tree = parse_one(sentence)
                 return _sentence_clause_eventualities(
@@ -197,7 +203,7 @@ def _sentence_cache(mode: str = "seed", generation=None):
 
             one.parse = parse_one
         else:
-            @lru_cache(maxsize=8192)
+            @lru_cache(maxsize=_scaled(8192))
             def one(sentence: str):
                 # render_parse=False: seed extraction reads tokens/lemmas/
                 # pos/deps only — skip the constituency build + PTB render

@@ -152,47 +152,16 @@ def _run_program(prog, by_gov, by_dep, bound):
     return selected, n_skeleton
 
 
-def _json_safe(s: str) -> bool:
-    """True when json.dumps would emit ``s`` verbatim between quotes (all
-    printable ASCII, no quote/backslash) — the overwhelmingly common case
-    for lowercased lemma words and POS/label strings."""
-    return not s or (s.isascii() and s.isprintable()
-                     and '"' not in s and "\\" not in s)
-
-
 def eid_of(rendered_deps, words, pos_tags) -> str:
     """sha1 over the reference's exact JSON rendering (eventuality.py:45-55).
 
     json.dumps turns tuples into JSON arrays with ", "/": " separators —
     identical output to the reference, so eids are bit-compatible.
-
-    Hot path: when every string needs no JSON escaping (checked), the
-    message is assembled directly with the same separators — byte-identical
-    to json.dumps output (property-tested vs json.dumps in
-    tests/test_kernel_semantics.py) at a fraction of the encoder cost.  Any
-    string needing escapes (quotes, backslashes, control or non-ASCII
-    chars — e.g. the 'advcl:"s' label) falls back to json.dumps."""
-    safe = _json_safe
-    if all(map(safe, words)) and all(map(safe, pos_tags)) and all(
-            safe(lab) for _, lab, _ in rendered_deps):
-        parts = ["["]
-        ap = parts.append
-        if rendered_deps:
-            ap("[")
-            ap(", ".join(
-                f'[[{g}, "{wg}", "{tg}"], "{lab}", [{d}, "{wd}", "{td}"]]'
-                for (g, wg, tg), lab, (d, wd, td) in rendered_deps))
-            ap("], ")
-        else:
-            ap("[], ")
-        ap("[")
-        ap(", ".join(f'"{w}"' for w in words))
-        ap("], [")
-        ap(", ".join(f'"{t}"' for t in pos_tags))
-        ap("]]")
-        msg = "".join(parts)
-    else:
-        msg = json.dumps([rendered_deps, words, pos_tags])
+    (A hand-assembled escape-free fast path was tried during the r8
+    optimization round and measured NEUTRAL in real time — the C encoder
+    already dominates — so the simple form stays; the byte-identity
+    contract is pinned by tests/test_kernel_semantics.py.)"""
+    msg = json.dumps([rendered_deps, words, pos_tags])
     return hashlib.sha1(msg.encode("utf-8")).hexdigest()
 
 

@@ -69,6 +69,15 @@ def _compile_prefilters():
 
 _PREFILTERS = _compile_prefilters()
 _EMPTY_SET: frozenset = frozenset()
+# the first-op labels across all programs (nsubj/nsubjpass for BIND, cop
+# for RBIND) — the verb-level check needs only these few anchor sets, so
+# they are collected in ONE pass over the edges instead of building full
+# per-verb label-set dicts (which measured as the most expensive part of
+# the prefilter bookkeeping)
+_FIRST_BIND_LABELS = frozenset(
+    lab for _, kind, lab in _PREFILTERS.values() if kind == BIND)
+_FIRST_RBIND_LABELS = frozenset(
+    lab for _, kind, lab in _PREFILTERS.values() if kind != BIND)
 
 
 def _index_edges(deps):
@@ -334,21 +343,26 @@ def extract_sentence_eventualities(tokens, lemmas, pos_tags, dependencies,
     deps = [tuple(e) for e in dependencies]
     verb_positions = [i for i, t in enumerate(pos_tags) if t.startswith("VB")]
     by_gov, by_dep = _index_edges(deps)
-    sent_labels = {e[1] for e in deps}
-    gov_labels = {vp: {r[2] for r in by_gov[vp]} if vp in by_gov else _EMPTY_SET
-                  for vp in verb_positions}
-    dep_labels = {vp: {r[2] for r in by_dep[vp]} if vp in by_dep else _EMPTY_SET
-                  for vp in verb_positions}
+    sent_labels = set()
+    first_anchors = {lab: set() for lab in _FIRST_BIND_LABELS}
+    rbind_anchors = {lab: set() for lab in _FIRST_RBIND_LABELS}
+    for g, lab, d in deps:
+        sent_labels.add(lab)
+        if lab in first_anchors:
+            first_anchors[lab].add(g)
+        elif lab in rbind_anchors:
+            rbind_anchors[lab].add(d)
     by_pattern: dict[str, list] = {}
     for name, prog in PATTERN_PROGRAMS.items():
         required, first_kind, first_label = _PREFILTERS[name]
         if not required <= sent_labels:
             by_pattern[name] = []
             continue
-        first_at = gov_labels if first_kind == BIND else dep_labels
+        anchor_ok = (first_anchors[first_label] if first_kind == BIND
+                     else rbind_anchors[first_label])
         bucket = []
         for vp in verb_positions:
-            if first_label not in first_at[vp]:
+            if vp not in anchor_ok:
                 continue
             res = _run_program(prog, by_gov, by_dep, {"V1": vp})
             if res is None:

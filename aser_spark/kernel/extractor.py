@@ -97,31 +97,34 @@ def _index_edges(deps):
 
 def _run_program(prog, by_gov, by_dep, bound):
     """Run one pattern program with V1 pre-bound; return (selected_idx_list,
-    skeleton_count) or None."""
+    skeleton_count) or None.  Ops are NamedTuples and iterate as plain
+    tuples — the hot loops unpack them once instead of paying five
+    attribute lookups per op."""
     selected: list[int] = []
+    bound_get = bound.get
 
-    for op in prog.positive:
-        anchor = bound.get(op.anchor)
+    for kind, op_anchor, labels, var, exact in prog.positive:
+        anchor = bound_get(op_anchor)
         if anchor is None:
             return None
         hit = False
-        if op.kind == BIND:
+        if kind == BIND:
             for ei, g, lab, d in by_gov.get(anchor, ()):
-                if lab not in op.labels:
+                if lab not in labels:
                     continue
-                if op.exact and op.var in bound:
+                if exact and var in bound:
                     continue
-                bound[op.var] = d
+                bound[var] = d
                 selected.append(ei)
                 hit = True
                 break
         else:  # RBIND: edge points AT the anchor; bind the governor
             for ei, g, lab, d in by_dep.get(anchor, ()):
-                if lab not in op.labels:
+                if lab not in labels:
                     continue
-                if op.var in bound:
+                if var in bound:
                     continue
-                bound[op.var] = g
+                bound[var] = g
                 selected.append(ei)
                 hit = True
                 break
@@ -129,31 +132,31 @@ def _run_program(prog, by_gov, by_dep, bound):
             return None
     n_skeleton = len(selected)
 
-    for op in prog.possible:
-        anchor = bound.get(op.anchor)
+    for _, op_anchor, labels, var, exact in prog.possible:
+        anchor = bound_get(op_anchor)
         if anchor is None:
             continue
         for ei, g, lab, d in by_gov.get(anchor, ()):
-            if lab not in op.labels:
+            if lab not in labels:
                 continue
-            if op.exact and op.var in bound:
+            if exact and var in bound:
                 continue
-            bound[op.var] = d
+            bound[var] = d
             selected.append(ei)
             # within one op the anchor stays fixed (the reference snapshots
             # current_dict per edge test); rebinding affects later ops only
 
     selected_set = set(selected)
-    for op in prog.negative:
-        anchor = bound.get(op.anchor)
+    for kind, op_anchor, labels, _, _ in prog.negative:
+        anchor = bound_get(op_anchor)
         if anchor is None:
             continue
-        if op.kind == LEFTOVER:
+        if kind == LEFTOVER:
             for ei, g, lab, d in by_gov.get(anchor, ()):
-                if ei not in selected_set and lab not in op.labels:
+                if ei not in selected_set and lab not in labels:
                     return None
         else:  # RVETO
-            label = next(iter(op.labels))
+            label = next(iter(labels))
             for ei, g, lab, d in by_dep.get(anchor, ()):
                 if ei not in selected_set and lab == label:
                     return None

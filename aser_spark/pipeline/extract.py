@@ -705,6 +705,22 @@ _COV_COLS = ["conv_id", "turn_idx", "sent_idx", "n_tokens", "pos_tags",
              "n_eventualities", "covered"]
 
 
+def _coverage_struct():
+    """StructType equivalent of COVERAGE_SCHEMA, built without a JVM (the
+    DDL parser needs an active session — unavailable inside workers)."""
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("sent_idx", T.IntegerType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("pos_tags", T.StringType()),
+        T.StructField("n_eventualities", T.IntegerType()),
+        T.StructField("covered", T.BooleanType()),
+    ])
+
+
 def turn_coverage_rows(conv_id, turn_idx, text, memo=None):
     """Pure per-turn parse-coverage kernel: EVERY sentence yields exactly
     one row — covered sentences report how many eventualities the grammar
@@ -733,14 +749,19 @@ def parse_coverage(transcripts):
     memoized per worker like the extraction kernel.  The aggregate
     coverage fraction is one map-side-combining AVG over the output."""
     def run(batches):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(_coverage_struct())
         _freeze_longlived()
         memo = _sentence_cache("seed")
-        for pdf in batches:
+        for rb in batches:
             out = []
-            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"],
-                                               pdf["text"]):
+            for conv_id, turn_idx, text in zip(
+                    rb.column("conv_id").to_pylist(),
+                    rb.column("turn_idx").to_pylist(),
+                    rb.column("text").to_pylist()):
                 out.extend(turn_coverage_rows(conv_id, turn_idx, text, memo))
-            yield _frame(out, _COV_COLS)
+            yield _arrow_frame(out, arrow_schema)
 
     return (transcripts.select("conv_id", "turn_idx", "text")
-            .mapInPandas(run, schema=COVERAGE_SCHEMA))
+            .mapInArrow(run, schema=COVERAGE_SCHEMA))
